@@ -1,0 +1,191 @@
+"""PyTorch-checkpoint -> l4p_tpu param-pytree conversion.
+
+The released weights ship as a single Lightning .ckpt whose `state_dict` keys
+are prefixed `l4p_model.` (reference: l4p/models/utils.py:52-53,
+weights/download.sh:4). This module maps those names onto our pytrees.
+Works from any dict of numpy arrays (torch.load result's state_dict with
+tensors converted), so torch is an optional dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+from l4p_tpu.models.encoder import EncoderConfig, sinusoid_pos_embed
+from l4p_tpu.models.dpt import DPTConfig, _rescale_kind
+
+
+def _np(x) -> np.ndarray:
+    """Accept torch tensors or numpy arrays."""
+    if isinstance(x, np.ndarray):
+        return x
+    try:
+        return x.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def state_dict_to_numpy(state_dict: Mapping) -> Dict[str, np.ndarray]:
+    return {k: _np(v) for k, v in state_dict.items()}
+
+
+def convert_encoder(sd: Mapping[str, np.ndarray], cfg: EncoderConfig, prefix: str = "", dtype=jnp.float32) -> Dict:
+    """Convert VideoMAE encoder weights.
+
+    Torch module tree (modeling_pretrain.py:32-99): patch_embed.proj,
+    blocks.{i}.{norm1,attn.{qkv,q_bias,v_bias,proj},norm2,mlp.{fc1,fc2}}, norm.
+    pos_embed is a non-persistent sinusoid table (modeling_pretrain.py:77) —
+    recomputed, never loaded.
+    """
+    g = lambda k: _np(sd[prefix + k])
+    e = cfg.embed_dim
+    d = cfg.depth
+
+    def stack(key_fmt):
+        return jnp.asarray(np.stack([g(key_fmt.format(i)) for i in range(d)]), dtype)
+
+    params = {
+        "patch_embed": {
+            "weight": jnp.asarray(g("patch_embed.proj.weight").reshape(e, -1), dtype),
+            "bias": jnp.asarray(g("patch_embed.proj.bias"), dtype),
+        },
+        "pos_embed": jnp.asarray(sinusoid_pos_embed(cfg.num_tokens, e), dtype),
+        "blocks": {
+            "norm1_w": stack("blocks.{}.norm1.weight"),
+            "norm1_b": stack("blocks.{}.norm1.bias"),
+            "qkv_w": stack("blocks.{}.attn.qkv.weight"),
+            "q_bias": stack("blocks.{}.attn.q_bias"),
+            "v_bias": stack("blocks.{}.attn.v_bias"),
+            "proj_w": stack("blocks.{}.attn.proj.weight"),
+            "proj_b": stack("blocks.{}.attn.proj.bias"),
+            "norm2_w": stack("blocks.{}.norm2.weight"),
+            "norm2_b": stack("blocks.{}.norm2.bias"),
+            "fc1_w": stack("blocks.{}.mlp.fc1.weight"),
+            "fc1_b": stack("blocks.{}.mlp.fc1.bias"),
+            "fc2_w": stack("blocks.{}.mlp.fc2.weight"),
+            "fc2_b": stack("blocks.{}.mlp.fc2.bias"),
+        },
+        "norm": {
+            "weight": jnp.asarray(g("norm.weight"), dtype),
+            "bias": jnp.asarray(g("norm.bias"), dtype),
+        },
+    }
+    return params
+
+
+def convert_dpt(sd: Mapping[str, np.ndarray], cfg: DPTConfig, prefix: str = "", dtype=jnp.float32) -> Dict:
+    """Convert a PixelwiseTaskWithDPT module (prefix up to and including
+    'task_head.'). Torch tree: dpt.act_postprocess.{i}.{0,1},
+    dpt.scratch.layer{1-4}_rn, dpt.scratch.refinenet{1-4}.*, dpt.head1.0,
+    dpt.head2.{0,2} (dpt_head.py:89-115, dpt_block.py:371-509)."""
+    g = lambda k: jnp.asarray(_np(sd[prefix + k]), dtype)
+
+    def conv(k, bias=True):
+        p = {"weight": g(k + ".weight")}
+        if bias:
+            p["bias"] = g(k + ".bias")
+        return p
+
+    act = []
+    for i, sf in enumerate(cfg.actpost_scale_factors):
+        entry = {"proj": conv(f"dpt.act_postprocess.{i}.0")}
+        if _rescale_kind(sf) != "id":
+            entry["rescale"] = conv(f"dpt.act_postprocess.{i}.1")
+        act.append(entry)
+
+    def resunit(k):
+        return {"conv1": conv(k + ".conv1"), "conv2": conv(k + ".conv2")}
+
+    refinenet = [
+        {
+            "resConfUnit1": resunit(f"dpt.scratch.refinenet{i + 1}.resConfUnit1"),
+            "resConfUnit2": resunit(f"dpt.scratch.refinenet{i + 1}.resConfUnit2"),
+            "out_conv": conv(f"dpt.scratch.refinenet{i + 1}.out_conv"),
+        }
+        for i in range(4)
+    ]
+    return {
+        "act_postprocess": act,
+        "layer_rn": [conv(f"dpt.scratch.layer{i + 1}_rn", bias=False) for i in range(4)],
+        "refinenet": refinenet,
+        "head1": conv("dpt.head1.0"),
+        "head2_0": conv("dpt.head2.0"),
+        "head2_2": conv("dpt.head2.2"),
+    }
+
+
+def convert_track_head(sd: Mapping[str, np.ndarray], prefix: str = "", dtype=jnp.float32,
+                       sam_depth: int = 2, num_mask_tokens: int = 3,
+                       num_point_embeddings: int = 2, prompt_using_features: bool = True,
+                       attend_to_past: bool = True) -> Dict:
+    """Convert VideoMAETrack2DSamHead weights (sparse_heads.py:19-138,
+    sam/*.py). prefix e.g. 'l4p_model.task_heads.track_2d.'."""
+    g = lambda k: jnp.asarray(_np(sd[prefix + k]), dtype)
+
+    def lin(k):
+        return {"weight": g(k + ".weight"), "bias": g(k + ".bias")}
+
+    def attn(k):
+        return {n: lin(f"{k}.{n}") for n in ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+    layers = []
+    for i in range(sam_depth):
+        base = f"mask_decoder.transformer.layers.{i}"
+        layers.append(
+            {
+                "self_attn": attn(base + ".self_attn"),
+                "norm1": lin(base + ".norm1"),
+                "cross_attn_token_to_image": attn(base + ".cross_attn_token_to_image"),
+                "norm2": lin(base + ".norm2"),
+                "mlp": {"lin1": lin(base + ".mlp.lin1"), "lin2": lin(base + ".mlp.lin2")},
+                "norm3": lin(base + ".norm3"),
+                "norm4": lin(base + ".norm4"),
+                "cross_attn_image_to_token": attn(base + ".cross_attn_image_to_token"),
+            }
+        )
+
+    prompt_encoder = {
+        "pe_gaussian": g("prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"),
+        "point_embeddings": jnp.stack(
+            [g(f"prompt_encoder.point_embeddings.{i}.weight")[0] for i in range(num_point_embeddings)]
+        ),
+        "not_a_point_embed": g("prompt_encoder.not_a_point_embed.weight")[0],
+    }
+    if prompt_using_features:
+        prompt_encoder["prompt_feature_embeddings"] = jnp.stack(
+            [g(f"prompt_encoder.prompt_feature_embeddings.{i}.weight")[0] for i in range(2)]
+        )
+
+    params = {
+        "prompt_encoder": prompt_encoder,
+        "mask_decoder": {
+            "mask_tokens": g("mask_decoder.mask_tokens.weight"),
+            "transformer": {
+                "layers": layers,
+                "final_attn_token_to_image": attn("mask_decoder.transformer.final_attn_token_to_image"),
+                "norm_final_attn": lin("mask_decoder.transformer.norm_final_attn"),
+            },
+            "upscale": {
+                "deconv1": lin("mask_decoder.output_upscaling.0"),
+                "ln": lin("mask_decoder.output_upscaling.1"),
+                "deconv2": lin("mask_decoder.output_upscaling.3"),
+            },
+            "hypernet": [
+                {
+                    "layers": [
+                        lin(f"mask_decoder.output_hypernetworks_mlps.{i}.layers.{j}") for j in range(3)
+                    ]
+                }
+                for i in range(num_mask_tokens)
+            ],
+        },
+    }
+    if prompt_using_features:
+        params["prompt_feature_linear"] = lin("prompt_feature_linear_layer")
+    if attend_to_past:
+        params["processed_video_mask_token"] = g("processed_video_mask_token.weight")[0]
+        params["processed_video_features_proj"] = lin("processed_video_features_proj")
+    return params

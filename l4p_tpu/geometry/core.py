@@ -1,0 +1,157 @@
+"""Core camera geometry: intrinsics, point maps, Plucker rays.
+
+TPU-native re-design of reference l4p/utils/geometry_utils.py:13-241 —
+identical math, vectorized einsums, functional-style `.at[]` updates instead
+of in-place mutation. fp32 throughout (the reference forces fp32 at these
+spots too, e.g. geometry_utils.py:43).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_intrinsics(intrinsics_b44t: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """[0,1]-normalized K with half-pixel offset (geometry_utils.py:110-116)."""
+    k = intrinsics_b44t
+    k = k.at[:, :2, 2].add(0.5)
+    k = k.at[:, 0].divide(w)
+    k = k.at[:, 1].divide(h)
+    return k
+
+
+def denormalize_intrinsics(intrinsics_b44t: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of normalize_intrinsics (geometry_utils.py:119-125)."""
+    k = intrinsics_b44t
+    k = k.at[:, 0].multiply(w)
+    k = k.at[:, 1].multiply(h)
+    k = k.at[:, :2, 2].add(-0.5)
+    return k
+
+
+def _pixel_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Homogeneous pixel grid (h, w, 3) with (x=i, y=j, 1) ordering."""
+    j, i = jnp.meshgrid(jnp.arange(h, dtype=dtype), jnp.arange(w, dtype=dtype), indexing="ij")
+    return jnp.stack([i, j, jnp.ones_like(i)], axis=-1)
+
+
+def generate_point_map(
+    depth_b1thw: jnp.ndarray,
+    intrinsics_b44t: jnp.ndarray,
+    world_T_cam_b44t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Unproject depth into world points (geometry_utils.py:13-53).
+    Returns (B, 3, T, H, W)."""
+    B, _, T, H, W = depth_b1thw.shape
+    k33 = intrinsics_b44t[:, :3, :3].astype(jnp.float32)  # (B,3,3,T)
+    k_inv = jnp.linalg.inv(k33.transpose(0, 3, 1, 2))  # (B,T,3,3)
+    pix = _pixel_grid(H, W)  # (H,W,3)
+    rays = jnp.einsum("btmn,hwn->bmthw", k_inv, pix)
+    pts = rays * depth_b1thw.astype(jnp.float32)
+    pts_h = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], axis=1)
+    out = jnp.einsum("bmnt,bnthw->bmthw", world_T_cam_b44t.astype(jnp.float32), pts_h)
+    return out[:, :3].astype(depth_b1thw.dtype)
+
+
+def unproject_2d_track_to_3d(
+    track_xy_bn2t: jnp.ndarray, track_z_bn1t: jnp.ndarray, intrinsics_b44t: jnp.ndarray
+) -> jnp.ndarray:
+    """2D track + depth -> camera XYZ (geometry_utils.py:56-81)."""
+    fx = intrinsics_b44t[:, 0:1, 0:1, :]
+    fy = intrinsics_b44t[:, 1:2, 1:2, :]
+    cx = intrinsics_b44t[:, 0:1, 2:3, :]
+    cy = intrinsics_b44t[:, 1:2, 2:3, :]
+    x = (track_xy_bn2t[:, :, 0:1, :] - cx) * track_z_bn1t / fx
+    y = (track_xy_bn2t[:, :, 1:2, :] - cy) * track_z_bn1t / fy
+    return jnp.concatenate([x, y, track_z_bn1t], axis=-2)
+
+
+def generate_3d_track_point_map(
+    track_2d_traj_bn2t: jnp.ndarray,
+    track_2d_depth_bn1t: jnp.ndarray,
+    intrinsics_b44t: jnp.ndarray,
+    world_T_cam_b44t: jnp.ndarray,
+) -> jnp.ndarray:
+    """2D track -> world XYZ (geometry_utils.py:84-107)."""
+    xyz_bn3t = unproject_2d_track_to_3d(track_2d_traj_bn2t, track_2d_depth_bn1t, intrinsics_b44t)
+    xyz_b3tn = xyz_bn3t.transpose(0, 2, 3, 1)
+    xyz_b4tn = jnp.concatenate([xyz_b3tn, jnp.ones_like(xyz_b3tn[:, :1])], axis=1)
+    xyz_b4tn = jnp.einsum("bmnt,bntp->bmtp", world_T_cam_b44t, xyz_b4tn)
+    return xyz_b4tn[:, :3].transpose(0, 3, 1, 2)
+
+
+def get_cam_T_ref(cam_T_world_b44t: jnp.ndarray, ref_idx: int = 0) -> jnp.ndarray:
+    """Poses relative to the reference frame (geometry_utils.py:128-143)."""
+    cam_T_world = cam_T_world_b44t.transpose(0, 3, 1, 2)
+    world_T_ref = jnp.linalg.inv(cam_T_world[:, ref_idx : ref_idx + 1])
+    cam_T_ref = jnp.matmul(cam_T_world, world_T_ref)
+    return cam_T_ref.transpose(0, 2, 3, 1)
+
+
+def scale_extrinsics(extrinsics_b44t: jnp.ndarray, scale_b1: jnp.ndarray) -> jnp.ndarray:
+    """Scale translation only (geometry_utils.py:146-150)."""
+    return extrinsics_b44t.at[:, :3, 3].multiply(scale_b1[:, None, None])
+
+
+def scale_rays_plucker(camray_b6thw: jnp.ndarray, scale_b1: jnp.ndarray) -> jnp.ndarray:
+    """Scale Plucker moments (geometry_utils.py:158-162)."""
+    return camray_b6thw.at[:, 3:].multiply(scale_b1)
+
+
+def get_rays_plucker(
+    intrinsics_b44t: jnp.ndarray,
+    extrinsics_b44t: jnp.ndarray,
+    emb_hw: Tuple[int, int],
+    make_first_cam_ref: bool = True,
+    normalize_dist: bool = False,
+    eps: float = 1e-6,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Per-pixel Plucker rays of a camera trajectory
+    (geometry_utils.py:165-241). intrinsics are normalized; extrinsics are
+    cam_T_world. Returns (camray (B,6,T,h,w), scale (B,) or None)."""
+    h, w = emb_hw
+    B, _, _, T = intrinsics_b44t.shape
+    dtype = intrinsics_b44t.dtype
+
+    cam_T_world = extrinsics_b44t.transpose(0, 3, 1, 2)  # (B,T,4,4)
+    world_T_cam = jnp.linalg.inv(cam_T_world)
+    if make_first_cam_ref:
+        ref_T_cam = jnp.matmul(cam_T_world[:, :1], world_T_cam)
+    else:
+        ref_T_cam = world_T_cam
+
+    if normalize_dist:
+        dist = jnp.linalg.norm(ref_T_cam[:, 1, :3, -1], axis=1)
+        dist = jnp.where(dist < eps, 1.0, dist)
+        scale = 1.0 / dist
+    else:
+        scale = None
+
+    k33 = denormalize_intrinsics(intrinsics_b44t, h, w)[:, :3, :3]
+    pix = _pixel_grid(h, w, dtype)  # (h,w,3)
+    rays_d = jnp.einsum("btmn,hwn->bthwm", jnp.linalg.inv(k33.transpose(0, 3, 1, 2)), pix)
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_d = jnp.einsum("btmn,bthwn->bthwm", ref_T_cam[..., :3, :3], rays_d)
+
+    rays_o = ref_T_cam[..., :3, 3]  # (B,T,3)
+    if normalize_dist:
+        rays_o = rays_o * scale[:, None, None]
+    rays_oxd = jnp.cross(jnp.broadcast_to(rays_o[:, :, None, None, :], rays_d.shape), rays_d, axis=-1)
+    plucker = jnp.concatenate([rays_d, rays_oxd], axis=-1)
+    return plucker.transpose(0, 4, 1, 2, 3), scale
+
+
+def plucker_to_point_direction(
+    camray_b6thw: jnp.ndarray, normalize_moment: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Plucker -> (closest point, direction) (geometry_utils.py:308-328)."""
+    direction = camray_b6thw[:, :3]
+    moment = camray_b6thw[:, 3:]
+    if normalize_moment:
+        c = jnp.linalg.norm(direction, axis=1, keepdims=True)
+        moment = moment / c
+    points = jnp.cross(direction, moment, axis=1)
+    return points, direction

@@ -1,0 +1,222 @@
+"""Video ViT encoder (VideoMAE-v2-style) — TPU-first functional design.
+
+Re-designs the reference encoder (reference: l4p/models/VideoMAEv2/models/
+modeling_finetune.py:137-283, modeling_pretrain.py:32-149, wrapped at
+l4p/models/l4p_videomae.py:17-122) as a pure function over a param pytree:
+
+* tubelet patchify is a reshape+matmul (identical math to the reference's
+  Conv3d with kernel==stride, modeling_finetune.py:269-283) — one big
+  (tokens x 1176 x embed) MXU matmul instead of a conv;
+* the `depth` transformer blocks are stacked along a leading axis and run
+  with `lax.scan` segment-by-segment between DPT hook indices, so only the
+  hook features (reference: 41-entry features_list, l4p_videomae.py:108-115)
+  are materialized, not all intermediate activations;
+* attention is fused-QKV with the reference's split q/v-bias trick
+  (zero k bias, modeling_finetune.py:171-178) and fp32 softmax.
+
+Giant config (reference l4p_videomae.py:163-186): patch 14, dim 1408,
+depth 40, heads 16, mlp 6144, tubelet 2, 16 frames, 224x224 -> 2048 tokens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from l4p_tpu.ops.conv import layer_norm, gelu
+from l4p_tpu.ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    img_size: int = 224
+    patch_size: int = 14
+    in_chans: int = 3
+    embed_dim: int = 1408
+    depth: int = 40
+    num_heads: int = 16
+    mlp_ratio: float = 48 / 11
+    tubelet_size: int = 2
+    all_frames: int = 16
+    ln_eps: float = 1e-6
+
+    @property
+    def tokens_thw(self):
+        return (
+            self.all_frames // self.tubelet_size,
+            self.img_size // self.patch_size,
+            self.img_size // self.patch_size,
+        )
+
+    @property
+    def num_tokens(self) -> int:
+        t, h, w = self.tokens_thw
+        return t * h * w
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+GIANT = EncoderConfig()
+
+
+def sinusoid_pos_embed(n_position: int, d_hid: int) -> np.ndarray:
+    """Fixed sin/cos table, float64 math then float32 — matches the reference
+    table construction (modeling_finetune.py:288-299)."""
+    pos = np.arange(n_position, dtype=np.float64)[:, None]
+    dim = np.arange(d_hid, dtype=np.float64)[None, :]
+    angle = pos / np.power(10000.0, 2 * (dim // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float64)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table[None].astype(np.float32)  # (1, N, C)
+
+
+def init_encoder_params(cfg: EncoderConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
+    """Xavier-uniform init mirroring the reference distributions
+    (modeling_pretrain.py:106-113). Weight layouts are torch-convention
+    (out, in) so checkpoint conversion is a reshape-free copy."""
+    e, h, d = cfg.embed_dim, cfg.mlp_hidden, cfg.depth
+    patch_in = cfg.in_chans * cfg.tubelet_size * cfg.patch_size * cfg.patch_size
+    ks = jax.random.split(key, 8)
+
+    def xavier(k, shape):
+        fan_out, fan_in = shape[-2], shape[-1]
+        a = float(np.sqrt(6.0 / (fan_in + fan_out)))
+        return jax.random.uniform(k, shape, dtype, -a, a)
+
+    params = {
+        "patch_embed": {
+            "weight": xavier(ks[0], (e, patch_in)),  # (E, Cin*kt*kh*kw) flattened
+            "bias": jnp.zeros((e,), dtype),
+        },
+        "pos_embed": jnp.asarray(sinusoid_pos_embed(cfg.num_tokens, e), dtype),
+        "blocks": {
+            "norm1_w": jnp.ones((d, e), dtype),
+            "norm1_b": jnp.zeros((d, e), dtype),
+            "qkv_w": xavier(ks[1], (d, 3 * e, e)),
+            "q_bias": jnp.zeros((d, e), dtype),
+            "v_bias": jnp.zeros((d, e), dtype),
+            "proj_w": xavier(ks[2], (d, e, e)),
+            "proj_b": jnp.zeros((d, e), dtype),
+            "norm2_w": jnp.ones((d, e), dtype),
+            "norm2_b": jnp.zeros((d, e), dtype),
+            "fc1_w": xavier(ks[3], (d, h, e)),
+            "fc1_b": jnp.zeros((d, h), dtype),
+            "fc2_w": xavier(ks[4], (d, e, h)),
+            "fc2_b": jnp.zeros((d, e), dtype),
+        },
+        "norm": {"weight": jnp.ones((e,), dtype), "bias": jnp.zeros((e,), dtype)},
+    }
+    return params
+
+
+def patchify(x_b3thw: jnp.ndarray, w_flat: jnp.ndarray, b: jnp.ndarray, cfg: EncoderConfig) -> jnp.ndarray:
+    """Tubelet patch embedding as reshape + matmul.
+
+    Equivalent to Conv3d(kernel=stride=(tubelet, p, p)) flattened over
+    (T', H', W') (reference modeling_finetune.py:276-283): token feature
+    vector ordering is (c, dt, dh, dw).
+    """
+    B, C, T, H, W = x_b3thw.shape
+    p, tt = cfg.patch_size, cfg.tubelet_size
+    t2, h2, w2 = T // tt, H // p, W // p
+    x = x_b3thw.reshape(B, C, t2, tt, h2, p, w2, p)
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # (B, t', h', w', c, dt, dh, dw)
+    x = x.reshape(B, t2 * h2 * w2, C * tt * p * p)
+    out = jnp.einsum("bnk,ek->bne", x, w_flat.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (out + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig) -> jnp.ndarray:
+    """One pre-LN transformer block (reference modeling_finetune.py:245-252,
+    gamma disabled per released init_values=0.0, see :239-243)."""
+    B, N, E = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+
+    h = layer_norm(x, p["norm1_w"], p["norm1_b"], cfg.ln_eps)
+    qkv_bias = jnp.concatenate([p["q_bias"], jnp.zeros_like(p["v_bias"]), p["v_bias"]])
+    qkv = jnp.einsum("bne,fe->bnf", h, p["qkv_w"].astype(h.dtype), preferred_element_type=jnp.float32)
+    qkv = (qkv + qkv_bias.astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
+    attn_out = mha(qkv[0], qkv[1], qkv[2], scale=hd ** -0.5)
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, E)
+    proj = jnp.einsum("bne,fe->bnf", attn_out, p["proj_w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    x = x + (proj + p["proj_b"].astype(jnp.float32)).astype(x.dtype)
+
+    h = layer_norm(x, p["norm2_w"], p["norm2_b"], cfg.ln_eps)
+    h1 = jnp.einsum("bne,fe->bnf", h, p["fc1_w"].astype(h.dtype), preferred_element_type=jnp.float32)
+    h1 = gelu((h1 + p["fc1_b"].astype(jnp.float32)).astype(x.dtype))
+    h2 = jnp.einsum("bnf,ef->bne", h1, p["fc2_w"].astype(h1.dtype), preferred_element_type=jnp.float32)
+    x = x + (h2 + p["fc2_b"].astype(jnp.float32)).astype(x.dtype)
+    return x
+
+
+def _slice_blocks(blocks: Dict, lo: int, hi: int) -> Dict:
+    return {k: v[lo:hi] for k, v in blocks.items()}
+
+
+def encoder_apply(
+    params: Dict,
+    x_b3thw: jnp.ndarray,
+    cfg: EncoderConfig = GIANT,
+    hooks: Sequence[int] = (14, 21, 28, 36),
+    want_final: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Run the encoder, returning only what the heads consume.
+
+    The reference materializes all 41 per-block features
+    (l4p_videomae.py:108-115); the DPT heads read indices `hooks` of that
+    list (index 0 = patch embedding, index i = output of block i-1,
+    dpt_head.py:50) and the track head reads the final normed feature.
+    Here blocks run as `lax.scan` segments between hook boundaries.
+
+    Returns {'hooks': [feat_bpc per hook], 'final': normed final feature}.
+    """
+    x = patchify(x_b3thw, params["patch_embed"]["weight"], params["patch_embed"]["bias"], cfg)
+    x = x + params["pos_embed"].astype(x.dtype)  # non-learnable table, stop-grad by construction
+
+    hooks = list(hooks)
+    boundaries = sorted(set([h for h in hooks if h > 0] + [cfg.depth]))
+
+    feats: Dict[int, jnp.ndarray] = {}
+    if 0 in hooks:
+        feats[0] = x
+
+    def scan_segment(x, blocks_slice):
+        def body(carry, p):
+            return _block(carry, p, cfg), None
+
+        out, _ = lax.scan(body, x, blocks_slice)
+        return out
+
+    prev = 0
+    for b in boundaries:
+        if b > prev:
+            x = scan_segment(x, _slice_blocks(params["blocks"], prev, b))
+        if b in hooks:
+            feats[b] = x
+        prev = b
+
+    # The reference overwrites features_list[depth] with head(norm(x)), head
+    # being Identity for num_classes=0 (l4p_videomae.py:115,
+    # modeling_pretrain.py:99) — so a hook at index==depth sees the normed
+    # output, and `final` is that same tensor.
+    final = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"], cfg.ln_eps)
+    if cfg.depth in hooks:
+        feats[cfg.depth] = final
+    out = {"hooks": [feats[h] for h in hooks]}
+    if want_final:
+        out["final"] = final
+    return out

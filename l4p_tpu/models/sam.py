@@ -1,0 +1,278 @@
+"""SAM-style promptable video decoder: prompt encoder, two-way transformer,
+mask decoder.
+
+Functional re-design of the reference tracking decoder stack (reference:
+l4p/models/task_heads/sam/{prompt_encoder,transformer,mask_decoder,common}.py)
+with queries as a batch dimension — the reference's per-batch-item Python
+loop (sparse_heads.py:542-555) disappears; everything is one batched call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from l4p_tpu.ops.conv import conv_transpose3d, gelu, layer_norm, linear
+from l4p_tpu.ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class SamConfig:
+    embed_dim: int = 1408
+    image_embedding_size: Tuple[int, int, int] = (8, 16, 16)
+    input_image_size: Tuple[int, int, int] = (16, 224, 224)
+    num_point_embeddings: int = 2
+    num_prompt_feature_embeddings: int = 2
+    prompt_using_features: bool = True
+    num_mask_tokens: int = 3
+    sam_head_depth: int = 2
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    decoding_out_dim_factor: int = 8
+
+    @property
+    def num_video_tokens(self) -> int:
+        t, h, w = self.image_embedding_size
+        return t * h * w
+
+    @property
+    def decode_dims(self) -> Tuple[int, int]:
+        d, f = self.embed_dim, self.decoding_out_dim_factor
+        return (min(2 * d // f, d), d // f)
+
+
+# ---------------------------------------------------------------------------
+# prompt encoder — reference sam/prompt_encoder.py:19-233
+# ---------------------------------------------------------------------------
+
+def _pe_encoding(coords: jnp.ndarray, gauss: jnp.ndarray) -> jnp.ndarray:
+    """Random-Fourier positional encoding of [0,1]^3 coords
+    (prompt_encoder.py:196-203)."""
+    c = (2 * coords - 1).astype(jnp.float32) @ gauss.astype(jnp.float32)
+    c = 2 * np.pi * c
+    return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
+
+
+def dense_pe(params: Dict, cfg: SamConfig) -> jnp.ndarray:
+    """(1, C, t, h, w) dense positional encoding
+    (prompt_encoder.py:67-76, :205-219): coord order (t, x, y)."""
+    t, h, w = cfg.image_embedding_size
+    t_e = (jnp.arange(t, dtype=jnp.float32) + 0.5) / t
+    y_e = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    x_e = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    tt, yy, xx = jnp.meshgrid(t_e, y_e, x_e, indexing="ij")
+    pe = _pe_encoding(jnp.stack([tt, xx, yy], axis=-1), params["pe_gaussian"])
+    return pe.transpose(3, 0, 1, 2)[None]
+
+
+def embed_points(
+    params: Dict,
+    cfg: SamConfig,
+    points_n13: jnp.ndarray,
+    labels_n1: jnp.ndarray,
+    pad: bool = True,
+) -> jnp.ndarray:
+    """Embed (t,x,y) point prompts with per-label learned embeddings
+    (prompt_encoder.py:99-121). Labels: -1 pad / 0 invalid / 1 input /
+    2 predicted (2 receives no additive embedding when
+    num_point_embeddings=2, matching the released config)."""
+    n = points_n13.shape[0]
+    if pad:
+        points_n13 = jnp.concatenate([points_n13, jnp.zeros((n, 1, 3), points_n13.dtype)], axis=1)
+        labels_n1 = jnp.concatenate([labels_n1, -jnp.ones((n, 1), labels_n1.dtype)], axis=1)
+    t, h, w = cfg.input_image_size
+    coords = points_n13 / jnp.asarray([t, w, h], points_n13.dtype)  # (t, x, y) normalized
+    pe = _pe_encoding(coords, params["pe_gaussian"]).astype(points_n13.dtype)
+
+    lab = labels_n1[..., None]
+    pe = jnp.where(lab == -1, params["not_a_point_embed"].astype(pe.dtype), pe)
+    for i in range(cfg.num_point_embeddings):
+        pe = pe + jnp.where(lab == i, params["point_embeddings"][i].astype(pe.dtype), 0.0)
+    return pe
+
+
+def embed_features(params: Dict, features_n1c: jnp.ndarray, labels_n1: jnp.ndarray) -> jnp.ndarray:
+    """Track-feature prompts + new/predicted embeddings
+    (prompt_encoder.py:78-97)."""
+    lab = labels_n1[..., None]
+    emb0 = features_n1c + params["prompt_feature_embeddings"][0].astype(features_n1c.dtype)
+    emb1 = features_n1c + params["prompt_feature_embeddings"][1].astype(features_n1c.dtype)
+    out = jnp.where(lab == 0, emb0, jnp.zeros_like(features_n1c))
+    out = jnp.where(lab == 1, emb1, out)
+    return out
+
+
+def prompt_encoder_apply(
+    params: Dict,
+    cfg: SamConfig,
+    points_n13: jnp.ndarray,
+    labels_n1: jnp.ndarray,
+    prompt_features_n1c: Optional[jnp.ndarray] = None,
+    prompt_feature_labels_n1: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sparse prompt embeddings (N, num_prompts, C)
+    (prompt_encoder.py:144-179)."""
+    sparse = embed_points(params, cfg, points_n13, labels_n1, pad=True)
+    if cfg.prompt_using_features:
+        if prompt_features_n1c is None:
+            prompt_features_n1c = jnp.zeros((points_n13.shape[0], 1, cfg.embed_dim), sparse.dtype)
+        if prompt_feature_labels_n1 is None:
+            prompt_feature_labels_n1 = jnp.zeros((points_n13.shape[0], 1), sparse.dtype)
+        feats = embed_features(params, prompt_features_n1c, prompt_feature_labels_n1)
+        sparse = jnp.concatenate([sparse, feats.astype(sparse.dtype)], axis=1)
+    return sparse
+
+
+# ---------------------------------------------------------------------------
+# two-way transformer — reference sam/transformer.py:21-245
+# ---------------------------------------------------------------------------
+
+def _attn_apply(p: Dict, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Projection attention with optional internal downsample
+    (transformer.py:190-245)."""
+    q = linear(q, p["q_proj"]["weight"], p["q_proj"]["bias"])
+    k = linear(k, p["k_proj"]["weight"], p["k_proj"]["bias"])
+    v = linear(v, p["v_proj"]["weight"], p["v_proj"]["bias"])
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    hd = c // num_heads
+    qh = q.reshape(b, nq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, nk, num_heads, hd).transpose(0, 2, 1, 3)
+    out = mha(qh, kh, vh, scale=hd ** -0.5)
+    out = out.transpose(0, 2, 1, 3).reshape(b, nq, c)
+    return linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
+
+
+def _twoway_block(
+    p: Dict,
+    cfg: SamConfig,
+    queries: jnp.ndarray,
+    keys: jnp.ndarray,
+    query_pe: jnp.ndarray,
+    key_pe: jnp.ndarray,
+    skip_first_layer_pe: bool,
+):
+    """TwoWayAttentionBlock (transformer.py:156-187)."""
+    nh = cfg.num_heads
+    eps = 1e-5  # torch nn.LayerNorm default
+    if skip_first_layer_pe:
+        queries = _attn_apply(p["self_attn"], queries, queries, queries, nh)
+    else:
+        q = queries + query_pe
+        queries = queries + _attn_apply(p["self_attn"], q, q, queries, nh)
+    queries = layer_norm(queries, p["norm1"]["weight"], p["norm1"]["bias"], eps)
+
+    q = queries + query_pe
+    k = keys + key_pe
+    queries = queries + _attn_apply(p["cross_attn_token_to_image"], q, k, keys, nh)
+    queries = layer_norm(queries, p["norm2"]["weight"], p["norm2"]["bias"], eps)
+
+    h = linear(queries, p["mlp"]["lin1"]["weight"], p["mlp"]["lin1"]["bias"])
+    h = jax.nn.relu(h)
+    h = linear(h, p["mlp"]["lin2"]["weight"], p["mlp"]["lin2"]["bias"])
+    queries = layer_norm(queries + h, p["norm3"]["weight"], p["norm3"]["bias"], eps)
+
+    q = queries + query_pe
+    k = keys + key_pe
+    keys = keys + _attn_apply(p["cross_attn_image_to_token"], k, q, queries, nh)
+    keys = layer_norm(keys, p["norm4"]["weight"], p["norm4"]["bias"], eps)
+    return queries, keys
+
+
+def twoway_transformer_apply(
+    params: Dict,
+    cfg: SamConfig,
+    image_embedding: jnp.ndarray,  # (N, P, C)
+    image_pe: jnp.ndarray,  # (N, P, C)
+    point_embedding: jnp.ndarray,  # (N, Q, C)
+):
+    """(transformer.py:67-111). Returns (queries (N,Q,C), keys (N,P,C))."""
+    queries = point_embedding
+    keys = image_embedding
+    for i, layer in enumerate(params["layers"]):
+        queries, keys = _twoway_block(
+            layer, cfg, queries, keys, point_embedding, image_pe, skip_first_layer_pe=(i == 0)
+        )
+    q = queries + point_embedding
+    k = keys + image_pe
+    attn_out = _attn_apply(params["final_attn_token_to_image"], q, k, keys, cfg.num_heads)
+    queries = queries + attn_out
+    queries = layer_norm(
+        queries, params["norm_final_attn"]["weight"], params["norm_final_attn"]["bias"], 1e-5
+    )
+    return queries, keys
+
+
+# ---------------------------------------------------------------------------
+# mask decoder — reference sam/mask_decoder.py:18-141
+# ---------------------------------------------------------------------------
+
+def _layer_norm_3d(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Channel-dim LayerNorm over NCDHW (mask_decoder.py:145-157)."""
+    xf = x.astype(jnp.float32)
+    u = xf.mean(1, keepdims=True)
+    s = jnp.square(xf - u).mean(1, keepdims=True)
+    y = (xf - u) / jnp.sqrt(s + eps)
+    y = weight[None, :, None, None, None].astype(jnp.float32) * y + bias[None, :, None, None, None].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _hyper_mlp(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """3-layer hypernetwork MLP with ReLU (mask_decoder.py:160-180)."""
+    n = len(p["layers"])
+    for i, lp in enumerate(p["layers"]):
+        x = linear(x, lp["weight"], lp["bias"])
+        if i < n - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def mask_decoder_apply(
+    params: Dict,
+    cfg: SamConfig,
+    image_embeddings: jnp.ndarray,  # (N, P, C) per-query video tokens
+    image_pe: jnp.ndarray,  # (1, C, t, h, w)
+    sparse_prompt_embeddings: jnp.ndarray,  # (N, Q, C)
+):
+    """predict_masks (mask_decoder.py:101-141). Returns
+    (out (N, num_mask_tokens, T, 4h, 4w), {'io_features', 'enc_features'})."""
+    n = sparse_prompt_embeddings.shape[0]
+    t, h, w = cfg.image_embedding_size
+    c = cfg.embed_dim
+
+    output_tokens = jnp.broadcast_to(
+        params["mask_tokens"].astype(sparse_prompt_embeddings.dtype)[None],
+        (n, cfg.num_mask_tokens, c),
+    )
+    tokens = jnp.concatenate([output_tokens, sparse_prompt_embeddings], axis=1)
+
+    src = image_embeddings
+    if src.shape[0] == 1 and n > 1:
+        src = jnp.broadcast_to(src, (n,) + src.shape[1:])
+    pos_src = image_pe.reshape(1, c, -1).transpose(0, 2, 1)
+    pos_src = jnp.broadcast_to(pos_src, (n,) + pos_src.shape[1:]).astype(src.dtype)
+
+    hs, src = twoway_transformer_apply(params["transformer"], cfg, src, pos_src, tokens)
+    processed = {"io_features": hs, "enc_features": src}
+
+    hyper_in = jnp.stack(
+        [_hyper_mlp(params["hypernet"][i], hs[:, i, :]) for i in range(cfg.num_mask_tokens)], axis=1
+    )  # (N, M, d2)
+
+    x = src.transpose(0, 2, 1).reshape(n, c, t, h, w)
+    up = params["upscale"]
+    x = conv_transpose3d(x, up["deconv1"]["weight"], up["deconv1"]["bias"], stride=2)
+    x = _layer_norm_3d(x, up["ln"]["weight"], up["ln"]["bias"])
+    x = gelu(x)
+    x = conv_transpose3d(x, up["deconv2"]["weight"], up["deconv2"]["bias"], stride=(1, 2, 2))
+    x = gelu(x)  # (N, d2, 2t, 4h, 4w)
+    n_, c2, t2, h2, w2 = x.shape
+    out = jnp.einsum("nmc,ncp->nmp", hyper_in, x.reshape(n_, c2, -1), preferred_element_type=jnp.float32)
+    out = out.reshape(n_, cfg.num_mask_tokens, t2, h2, w2).astype(x.dtype)
+    return out, processed
