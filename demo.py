@@ -1,0 +1,122 @@
+"""All-task inference demo — parity with the reference demo/demo.py.
+
+Runs the five tasks on DAVIS clips / generic videos / Dycheck sequences,
+writes per-task panel videos and 4D point-cloud exports.
+
+Usage:
+  python demo.py --video path/to/clip.mp4 --out-dir out/
+  python demo.py --davis-root /data/davis --seq train parkour
+  python demo.py --dycheck-root /data/dycheck
+  python demo.py --synthetic        # no data needed: random video smoke run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+TASKS = ("flow_2d_backward", "track_2d", "depth", "dyn_mask", "camray")
+
+
+def run_sequence(params, cfg, tasks, batch, out_dir, seq_name, dtype=jnp.bfloat16):
+    from l4p_tpu.models.l4p import l4p_forward
+    from l4p_tpu.utils.vis import generate_video_visualizations, generate_4d_visualization
+
+    data = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            data[k] = jnp.asarray(v, dtype if k == "rgb_b3thw" else None)
+
+    fwd = jax.jit(lambda p, d: l4p_forward(p, cfg, d, tuple(tasks), key=jax.random.PRNGKey(0)))
+    t0 = time.time()
+    out = fwd(params, data)
+    out_np = {k: np.asarray(v, np.float32) for k, v in out.items()}
+    dt = time.time() - t0
+    t_frames = batch["rgb_b3thw"].shape[2]
+    print(f"[{seq_name}] {t_frames} frames in {dt:.2f}s ({t_frames / dt:.1f} fps incl. compile)")
+    print(f"[{seq_name}] outputs: {sorted(out_np.keys())}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    vis_path = generate_video_visualizations(
+        batch, out_np, tasks, os.path.join(out_dir, f"{seq_name}_panels.mp4")
+    )
+    print(f"[{seq_name}] wrote {vis_path}")
+    if "depth_est_b1thw" in out_np and "traj3d_est_b16t" in out_np:
+        plys = generate_4d_visualization(batch, out_np, os.path.join(out_dir, seq_name), stride=4)
+        print(f"[{seq_name}] wrote {len(plys)} point clouds")
+    return out_np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/model.yaml")
+    ap.add_argument("--ckpt", default=None, help="released .ckpt (converted on load)")
+    ap.add_argument("--video", nargs="*", default=None)
+    ap.add_argument("--davis-root", default=None)
+    ap.add_argument("--dycheck-root", default=None)
+    ap.add_argument("--seq", nargs="*", default=None, help="filter sequence names")
+    ap.add_argument("--out-dir", default="out")
+    ap.add_argument("--max-queries", type=int, default=128)
+    ap.add_argument("--tasks", default=",".join(TASKS))
+    ap.add_argument("--synthetic", action="store_true", help="random-video smoke run")
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from l4p_tpu.config import prepare_model
+    from l4p_tpu.data.dataset import collate
+    from l4p_tpu.data.sources import DavisDataset, DycheckDataset, VideoDataset
+
+    params, cfg, tasks = prepare_model(args.config, args.ckpt, max_queries=args.max_queries)
+    tasks = tuple(args.tasks.split(","))
+    if args.ckpt is None:
+        print("WARNING: no checkpoint given — running with random weights")
+
+    datasets = []
+    if args.video:
+        datasets.append(VideoDataset(args.video))
+    if args.davis_root:
+        datasets.append(DavisDataset(args.davis_root))
+    if args.dycheck_root:
+        datasets.append(DycheckDataset(args.dycheck_root))
+
+    if args.synthetic or not datasets:
+        print("Running synthetic smoke sequence (24 frames)")
+        rng = np.random.default_rng(0)
+        t = 24
+        k = np.tile(np.diag([224.0, 224.0, 1, 1]).astype(np.float32)[None, :, :, None], (1, 1, 1, t))
+        k[:, 0, 2], k[:, 1, 2] = 112.0, 112.0
+        n = 32
+        q = np.stack([np.zeros(n) + 0.5, rng.uniform(8, 216, n), rng.uniform(8, 216, n)], -1)
+        batch = {
+            "rgb_b3thw": rng.standard_normal((1, 3, t, 224, 224)).astype(np.float32),
+            "intrinsics_b44t": k,
+            "track_2d_pointquerries_bn3": q[None].astype(np.float32),
+            "track_2d_pointlabels_bn": np.ones((1, n), np.float32),
+            "rgb_mean_b3111": np.zeros((1, 3, 1, 1, 1), np.float32),
+            "rgb_std_b3111": np.ones((1, 3, 1, 1, 1), np.float32),
+        }
+        run_sequence(params, cfg, tasks, batch, args.out_dir, "synthetic")
+        return
+
+    for ds in datasets:
+        for i in range(len(ds)):
+            sample = ds[i]
+            seq = sample.get("seq_name", f"seq{i}")
+            if args.seq and not any(s in seq for s in args.seq):
+                continue
+            batch = collate(sample)
+            run_sequence(params, cfg, tasks, batch, args.out_dir, seq)
+
+
+if __name__ == "__main__":
+    main()

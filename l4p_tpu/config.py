@@ -1,0 +1,183 @@
+"""Config registry: the reference's YAML schema mapped onto l4p_tpu configs.
+
+Preserves the reference's public config surface (configs/model.yaml parsed by
+jsonargparse class_path/init_args trees, reference l4p/models/utils.py:15-60)
+so a released L4P YAML drops in unchanged: class_path strings are mapped to
+our dataclass configs instead of torch modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from l4p_tpu.checkpoint import (
+    convert_dpt,
+    convert_encoder,
+    convert_track_head,
+    state_dict_to_numpy,
+)
+from l4p_tpu.models.dpt import DPTConfig, init_dpt_params
+from l4p_tpu.models.encoder import GIANT, init_encoder_params
+from l4p_tpu.models.l4p import DenseHeadConfig, L4PConfig
+from l4p_tpu.models.sam import SamConfig
+from l4p_tpu.models.track import TrackConfig, init_track_params
+
+_DENSE_KINDS = {
+    "VideoMAEFlowDPTHead": "flow",
+    "VideoMAEDepthDPTHead": "depth",
+    "VideoMAEDynMaskDPTHead": "dyn_mask",
+    "VideoMAETraj3DDPTHead": "camray",
+}
+
+_CAMRAY_DPT_DEFAULTS = dict(
+    actpost_scale_factors=((1, 0, 0), (1, 0, 0), (0, 0, 0), (-1, -1, -1)),
+    fusion_scale_factors=((1, 1, 1), (1, 1, 1), (2, 1, 1), (2, 2, 2)),
+    output_size=(16, 16, 16),
+)
+
+
+def _head_from_yaml(name: str, node: Mapping[str, Any]) -> Any:
+    cls = node["class_path"].rsplit(".", 1)[-1]
+    args = dict(node.get("init_args", {}))
+    if cls == "VideoMAETrack2DSamHead":
+        sam = SamConfig(
+            embed_dim=args.get("prompt_embed_dim", 1408),
+            num_point_embeddings=args.get("num_point_embeddings", 2),
+            prompt_using_features=args.get("prompt_using_features", False),
+            num_mask_tokens=1 + int(args.get("estimate_vis", False)) + int(args.get("estimate_depth", False)),
+            sam_head_depth=args.get("sam_head_depth", 2),
+        )
+        return TrackConfig(
+            task_name=args.get("task_name", "track_2d"),
+            estimate_vis=args.get("estimate_vis", False),
+            estimate_depth=args.get("estimate_depth", False),
+            modify_pointlabels_for_windowing=args.get("modify_pointlabels_for_windowing", False),
+            prompt_using_features=args.get("prompt_using_features", False),
+            attend_to_past=args.get("attend_to_past", False),
+            depth_fn=args.get("depth_fn", "linear"),
+            vis_fn=args.get("vis_fn", "linear"),
+            max_queries=args.get("max_queries", 192),
+            sam=sam,
+        )
+    if cls not in _DENSE_KINDS:
+        raise ValueError(f"unknown head class {cls}")
+    kind = _DENSE_KINDS[cls]
+    hooks = tuple(args.get("hooks_idx") or (16, 24, 32, 40))
+    out_nchan = 6 if kind == "camray" else args.get("out_nchan", 2 if kind == "flow" else 1)
+    dpt_kw: Dict[str, Any] = dict(num_channels=out_nchan, hooks=hooks)
+    if kind == "camray":
+        dpt_kw.update(_CAMRAY_DPT_DEFAULTS)
+        for k in ("actpost_scale_factors", "fusion_scale_factors", "output_size"):
+            if k in args:
+                dpt_kw[k] = tuple(map(tuple, args[k])) if k != "output_size" else tuple(args[k])
+    return DenseHeadConfig(
+        task_name=args.get("task_name", name),
+        kind=kind,
+        out_nchan=out_nchan,
+        dpt=DPTConfig(**dpt_kw),
+        depth_fn=args.get("depth_fn", "exp"),
+        mask_fn=args.get("apply_fn", "linear"),
+        align_pre_inverse=args.get("align_window_overlap_fn") == "inverse",
+        align_type=args.get("align_type", "affine"),
+        use_intrinsics=args.get("use_intrinsics", True),
+        fixed_intrinsics=args.get("fixed_intrinsics", False),
+    )
+
+
+def load_model_config(path: str) -> Tuple[L4PConfig, Tuple[str, ...]]:
+    """Parse a reference-schema model YAML into (L4PConfig, tasks)."""
+    with open(path) as f:
+        tree = yaml.safe_load(f)
+    init = tree["init_args"]
+    tasks = tuple(init["tasks"])
+    m = init["l4p_model"]["init_args"]
+    modules = m["task_heads"]["init_args"]["modules"]
+
+    heads = []
+    track = TrackConfig()
+    for name, node in modules.items():
+        cfg = _head_from_yaml(name, node)
+        if isinstance(cfg, TrackConfig):
+            track = cfg
+        else:
+            heads.append((name, cfg))
+
+    return (
+        L4PConfig(
+            encoder=GIANT,
+            window_size=tuple(m.get("window_size", (16, 224, 224))),
+            window_stride_t=m.get("window_stride_T", 8),
+            joint_alignment=m.get("joint_alignment", False),
+            heads=tuple(heads),
+            track=track,
+        ),
+        tasks,
+    )
+
+
+def init_l4p_params(cfg: L4PConfig, key: jax.Array, dtype=jnp.float32, tasks: Optional[Sequence[str]] = None) -> Dict:
+    """Random full-model init (for tests/benchmarks without a checkpoint)."""
+    keys = jax.random.split(key, len(cfg.heads) + 2)
+    heads: Dict[str, Dict] = {}
+    for i, (name, hcfg) in enumerate(cfg.heads):
+        if tasks is not None and name not in tasks:
+            continue
+        heads[name] = init_dpt_params(hcfg.dpt, keys[i], dtype)
+    if tasks is None or "track_2d" in tasks:
+        heads["track_2d"] = init_track_params(cfg.track, keys[-2], dtype)
+    return {
+        "video_encoder": init_encoder_params(cfg.encoder, keys[-1], dtype),
+        "task_heads": heads,
+    }
+
+
+def convert_l4p(state_dict: Mapping, cfg: L4PConfig, dtype=jnp.float32, prefix: str = "l4p_model.") -> Dict:
+    """Convert a released Lightning checkpoint's state_dict to our pytree
+    (key layout per l4p/models/utils.py:52 and the module tree)."""
+    sd = state_dict_to_numpy(state_dict)
+    heads: Dict[str, Dict] = {}
+    for name, hcfg in cfg.heads:
+        hp = f"{prefix}task_heads.{name}.task_head."
+        if any(k.startswith(hp) for k in sd):
+            heads[name] = convert_dpt(sd, hcfg.dpt, prefix=hp, dtype=dtype)
+    tp = f"{prefix}task_heads.track_2d."
+    if any(k.startswith(tp) for k in sd):
+        heads["track_2d"] = convert_track_head(
+            sd, prefix=tp, dtype=dtype,
+            sam_depth=cfg.track.sam.sam_head_depth,
+            num_mask_tokens=cfg.track.num_mask_tokens,
+            num_point_embeddings=cfg.track.sam.num_point_embeddings,
+            prompt_using_features=cfg.track.prompt_using_features,
+            attend_to_past=cfg.track.attend_to_past,
+        )
+    return {
+        "video_encoder": convert_encoder(sd, cfg.encoder, prefix=f"{prefix}video_encoder.", dtype=dtype),
+        "task_heads": heads,
+    }
+
+
+def prepare_model(
+    model_config_path: str,
+    ckpt_path: Optional[str] = None,
+    max_queries: Optional[int] = None,
+    dtype=jnp.bfloat16,
+):
+    """Reference-parity entry point (l4p/models/utils.py:15-60): parse the
+    YAML, build configs, load + convert the checkpoint (or random-init when
+    ckpt_path is None). Returns (params, cfg, tasks)."""
+    cfg, tasks = load_model_config(model_config_path)
+    if max_queries is not None:
+        cfg = dataclasses.replace(cfg, track=dataclasses.replace(cfg.track, max_queries=max_queries))
+    if ckpt_path is None:
+        params = init_l4p_params(cfg, jax.random.PRNGKey(0), dtype)
+    else:
+        import torch
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+        params = convert_l4p(ckpt["state_dict"], cfg, dtype)
+    return params, cfg, tasks

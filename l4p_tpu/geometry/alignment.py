@@ -114,6 +114,13 @@ def umeyama_sim3(src_n3: jnp.ndarray, dst_n3: jnp.ndarray, w_n: Optional[jnp.nda
     r = (u * d[None, :]) @ vh
     scale = (s_vals * d).sum() / jnp.maximum(var_s, 1e-12)
     t = mu_d - scale * (r @ mu_s)
+    # degenerate geometry guard (coincident/overflowing points): identity
+    ok = jnp.logical_and(jnp.isfinite(scale), jnp.all(jnp.isfinite(r)))
+    ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(t)))
+    ok = jnp.logical_and(ok, var_s > 1e-12)
+    r = jnp.where(ok, r, jnp.eye(3, dtype=jnp.float32))
+    scale = jnp.where(ok, scale, 1.0)
+    t = jnp.where(ok, t, jnp.zeros((3,), jnp.float32))
     tf = jnp.zeros((4, 4), jnp.float32)
     tf = tf.at[:3, :3].set(scale * r)
     tf = tf.at[:3, 3].set(t)
@@ -187,8 +194,15 @@ def sim3_overlap_solve(
     n_total = pm_pred.shape[2] * h * w
     n_keep = max(int(point_sample_ratio * n_total), min_samples)
 
-    src_bn3 = pm_pred.reshape(b, 3, -1).transpose(0, 2, 1).astype(jnp.float32)
-    dst_bn3 = pm_tgt.reshape(b, 3, -1).transpose(0, 2, 1).astype(jnp.float32)
+    # sanitize: degenerate pose estimates (near-parallel rays) can emit huge
+    # or non-finite coordinates that would overflow the fp32 solve
+    lim = 1e6
+    src_bn3 = jnp.clip(
+        jnp.nan_to_num(pm_pred.reshape(b, 3, -1).transpose(0, 2, 1).astype(jnp.float32),
+                       posinf=lim, neginf=-lim), -lim, lim)
+    dst_bn3 = jnp.clip(
+        jnp.nan_to_num(pm_tgt.reshape(b, 3, -1).transpose(0, 2, 1).astype(jnp.float32),
+                       posinf=lim, neginf=-lim), -lim, lim)
 
     keys_a = jax.random.split(key, b)
     keys_b = jax.random.split(jax.random.fold_in(key, 1), b)

@@ -1,0 +1,471 @@
+"""L4P orchestrator: shared encoder + per-task heads + sliding-window
+stitching.
+
+Re-designs the reference L4P_VideoMAE.forward (reference:
+l4p/models/l4p_videomae.py:125-330, dense_heads.py:76-143 and :360-492) the
+TPU way:
+
+  * all windows are encoded in one batched call (`lax.map` over window
+    chunks) — the reference's per-window Python loop
+    (l4p_videomae.py:278-293) disappears;
+  * per-task stitching: flow/dyn_mask are pure gathers ("last writer wins"
+    with the flow frame-0 skip); depth and joint depth+camray are
+    `lax.scan`s whose carry is the previous aligned window — no T-length
+    mutable buffer;
+  * the camray stateful fixed-intrinsics cache
+    (dense_heads.py:288, :303-334) becomes an explicit window-0 solve whose
+    K is broadcast to later windows;
+  * everything is jittable end-to-end with static window counts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from l4p_tpu.models.encoder import EncoderConfig, GIANT, encoder_apply
+from l4p_tpu.models.dpt import DPTConfig, dpt_apply
+from l4p_tpu.models.track import TrackConfig, track_forward, track_forward_windowed
+from l4p_tpu.ops.misc import apply_fn
+from l4p_tpu.geometry.core import normalize_intrinsics
+from l4p_tpu.geometry.cameras import (
+    rays_to_cameras,
+    rays_to_cameras_and_fixed_intrinsics,
+    rays_to_cameras_and_variable_intrinsics,
+)
+from l4p_tpu.geometry.alignment import (
+    lstsq_affine_solve,
+    lstsq_affine_apply,
+    linear_scale_solve,
+    linear_scale_apply,
+    sim3_overlap_solve,
+    sim3_overlap_apply,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseHeadConfig:
+    task_name: str  # output key stem ('flow_2d_backward', 'depth', 'dyn_mask', 'traj3d')
+    kind: str  # 'flow' | 'depth' | 'dyn_mask' | 'camray'
+    out_nchan: int
+    dpt: DPTConfig
+    depth_fn: str = "exp"  # depth head activation (configs/model.yaml:36)
+    mask_fn: str = "linear"  # dyn_mask activation (configs/model.yaml:51)
+    align_pre_inverse: bool = True  # depth aligned in disparity (model.yaml:38)
+    align_type: str = "affine"  # 'affine' | 'linear'
+    use_intrinsics: bool = False  # camray modes (model.yaml:44-45)
+    fixed_intrinsics: bool = True
+
+    @property
+    def task_suffix(self) -> str:
+        return "b16t" if self.kind == "camray" else f"b{self.out_nchan}thw"
+
+
+def default_dense_heads(hooks: Tuple[int, ...] = (14, 21, 28, 36)) -> Dict[str, DenseHeadConfig]:
+    """The released configs/model.yaml head set."""
+    return {
+        "flow_2d_backward": DenseHeadConfig(
+            task_name="flow_2d_backward", kind="flow", out_nchan=2,
+            dpt=DPTConfig(num_channels=2, hooks=hooks),
+        ),
+        "depth": DenseHeadConfig(
+            task_name="depth", kind="depth", out_nchan=1,
+            dpt=DPTConfig(num_channels=1, hooks=hooks),
+        ),
+        "dyn_mask": DenseHeadConfig(
+            task_name="dyn_mask", kind="dyn_mask", out_nchan=1,
+            dpt=DPTConfig(num_channels=1, hooks=hooks),
+        ),
+        "camray": DenseHeadConfig(
+            task_name="traj3d", kind="camray", out_nchan=6,
+            dpt=DPTConfig(
+                num_channels=6, hooks=hooks,
+                actpost_scale_factors=((1, 0, 0), (1, 0, 0), (0, 0, 0), (-1, -1, -1)),
+                fusion_scale_factors=((1, 1, 1), (1, 1, 1), (2, 1, 1), (2, 2, 2)),
+                output_size=(16, 16, 16),
+            ),
+        ),
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class L4PConfig:
+    encoder: EncoderConfig = GIANT
+    window_size: Tuple[int, int, int] = (16, 224, 224)
+    window_stride_t: int = 8
+    joint_alignment: bool = True
+    heads: Tuple[Tuple[str, DenseHeadConfig], ...] = tuple(default_dense_heads().items())
+    track: TrackConfig = dataclasses.field(default_factory=TrackConfig)
+    enc_window_chunk: int = 2  # windows encoded per lax.map step
+    dense_window_chunk: int = 2
+    sim3_num_trials: int = 128  # RANSAC hypotheses for joint alignment
+    sim3_min_samples: int = 10
+
+    @property
+    def head_dict(self) -> Dict[str, DenseHeadConfig]:
+        return dict(self.heads)
+
+    @property
+    def all_hooks(self) -> Tuple[int, ...]:
+        hooks: List[int] = []
+        for _, h in self.heads:
+            for idx in h.dpt.hooks:
+                if idx not in hooks:
+                    hooks.append(idx)
+        return tuple(sorted(hooks))
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+
+def encode_windows(enc_params: Dict, cfg: L4PConfig, rgb_b3thw: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Slice the video into overlapping windows and encode them all.
+
+    Returns {'hooks': [(nw, B, P, C) per hook], 'final': (nw, B, P, C)}.
+    Replaces the reference per-window loop (l4p_videomae.py:278-293).
+    """
+    b, _, t, h, w = rgb_b3thw.shape
+    ws, stride = cfg.window_size[0], cfg.window_stride_t
+    assert t % stride == 0, "T must be a multiple of the window stride"
+    nw = (t - ws) // stride + 1
+    starts = jnp.arange(nw) * stride
+
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(rgb_b3thw, s, ws, axis=2)
+    )(starts)  # (nw, B, 3, ws, H, W)
+
+    hooks = cfg.all_hooks
+
+    def enc_one(xw):
+        out = encoder_apply(enc_params, xw, cfg.encoder, hooks=hooks, want_final=True)
+        return {"hooks": out["hooks"], "final": out["final"]}
+
+    res = jax.lax.map(enc_one, windows, batch_size=min(cfg.enc_window_chunk, nw))
+    return {"hooks": {h: f for h, f in zip(hooks, res["hooks"])}, "final": res["final"]}
+
+
+# ---------------------------------------------------------------------------
+# dense heads (single window, batched over windows by callers)
+# ---------------------------------------------------------------------------
+
+def dense_head_raw(
+    head_params: Dict, hcfg: DenseHeadConfig, hook_feats: Sequence[jnp.ndarray],
+    img_info: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """DPT trunk + per-kind activation on the raw channels
+    (reference dense_heads.py:66-74, :172-182, :208-217)."""
+    out = dpt_apply(head_params, hook_feats, hcfg.dpt, img_info)
+    out = out[:, : hcfg.out_nchan]
+    if hcfg.kind == "depth":
+        out = apply_fn(out, hcfg.depth_fn)
+    elif hcfg.kind == "dyn_mask":
+        out = out.at[:, 0].set(apply_fn(out[:, 0], hcfg.mask_fn))
+    return out
+
+
+def camray_windows_to_cameras(
+    rays_w_b6thw: jnp.ndarray,  # (nw, B, 6, t, h, w) fp32
+    hcfg: DenseHeadConfig,
+    img_info: Tuple[int, int, int],
+    intrinsics_b44t: Optional[jnp.ndarray],
+    window_stride: int,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-window rays -> (pose (nw,B,16,t), intrinsics_est (nw,B,16,t)).
+
+    Mirrors VideoMAETraj3DDPTHead.forward's three modes
+    (dense_heads.py:292-352) with the stateful first-window K cache made
+    explicit: window 0 estimates K via on-device homography RANSAC; later
+    windows compute rotations from the *input* intrinsics (the reference
+    does exactly this, dense_heads.py:329-334) while reporting window 0's K.
+    """
+    nw, b = rays_w_b6thw.shape[:2]
+    t_img, h_img, w_img = img_info
+    rays = rays_w_b6thw.astype(jnp.float32)
+    tw = rays.shape[3]
+
+    def window_K(w):
+        """Input intrinsics sliced for window w, normalized to ray space."""
+        k = jax.lax.dynamic_slice_in_dim(intrinsics_b44t, w * window_stride, tw, axis=3)
+        return normalize_intrinsics(k.astype(jnp.float32), h_img, w_img)
+
+    if hcfg.use_intrinsics:
+        ks = jax.vmap(window_K)(jnp.arange(nw))
+        ext, _ = jax.vmap(rays_to_cameras)(rays, ks)
+        k_est = jax.vmap(window_K)(jnp.arange(nw))  # echo input K
+        k_out = jnp.broadcast_to(k_est.reshape(nw, b, 16, tw), (nw, b, 16, tw))
+    elif hcfg.fixed_intrinsics:
+        ext0, _, k_est0 = rays_to_cameras_and_fixed_intrinsics(
+            rays[0], key, output_size=(h_img, w_img)
+        )  # K in image-pixel space (B,4,4,tw)
+        ks = jax.vmap(window_K)(jnp.arange(nw))
+        ext_all, _ = jax.vmap(rays_to_cameras)(rays, ks)
+        ext = ext_all.at[0].set(ext0)
+        k_out = jnp.broadcast_to(k_est0.reshape(1, b, 16, tw), (nw, b, 16, tw))
+    else:
+        keys = jax.random.split(key, nw)
+        ext, _, k_var = jax.vmap(
+            lambda r, k: rays_to_cameras_and_variable_intrinsics(r, k, output_size=(h_img, w_img))
+        )(rays, keys)
+        k_out = k_var.reshape(nw, b, 16, tw)
+
+    # pose = inv(extrinsics) (dense_heads.py:346-347)
+    pose = jnp.linalg.inv(ext.transpose(0, 1, 4, 2, 3)).transpose(0, 1, 3, 4, 2)
+    pose = pose.reshape(nw, b, 16, tw)
+    return pose, k_out
+
+
+# ---------------------------------------------------------------------------
+# stitching
+# ---------------------------------------------------------------------------
+
+def _writer_index(t_total: int, nw: int, stride: int, flow_skip: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each output frame, (window index, frame-in-window index) of the
+    last window that writes it — the reference's sequential buffer overwrite
+    (dense_heads.py:136-140) expressed as a gather."""
+    t_idx = jnp.arange(t_total)
+    if flow_skip:
+        # window w>0 does not write its frame 0 (dense_heads.py:136-138)
+        win = jnp.clip(jnp.where(t_idx == 0, 0, (t_idx - 1) // stride), 0, nw - 1)
+    else:
+        win = jnp.clip(t_idx // stride, 0, nw - 1)
+    frame = t_idx - win * stride
+    return win, frame
+
+
+def stitch_overwrite(win_outs: jnp.ndarray, stride: int, t_total: int, flow_skip: bool = False) -> jnp.ndarray:
+    """win_outs: (nw, B, C, ws, ...) -> (B, C, T, ...)."""
+    nw = win_outs.shape[0]
+    win, frame = _writer_index(t_total, nw, stride, flow_skip)
+    gathered = win_outs[win, :, :, frame]  # (T, B, C, ...)
+    return jnp.moveaxis(gathered, 0, 2)
+
+
+def stitch_depth_aligned(
+    depth_w: jnp.ndarray, stride: int, t_total: int, hcfg: DenseHeadConfig
+) -> jnp.ndarray:
+    """Sequential scale/shift alignment chain over windows
+    (dense_heads.py:104-140 with LstSqAffineAligner)."""
+    nw, b = depth_w.shape[:2]
+    ws = depth_w.shape[3]
+    overlap = ws - stride
+
+    def step(prev_aligned, cur):
+        if hcfg.align_type == "affine":
+            sol = lstsq_affine_solve(
+                cur[:, :, :overlap], prev_aligned[:, :, stride:], pre_inverse=hcfg.align_pre_inverse
+            )
+            aligned = lstsq_affine_apply(sol, cur, pre_inverse=hcfg.align_pre_inverse)
+        else:
+            sol = linear_scale_solve(
+                cur[:, :, :overlap], prev_aligned[:, :, stride:], pre_inverse=hcfg.align_pre_inverse
+            )
+            aligned = linear_scale_apply(sol, cur, pre_inverse=hcfg.align_pre_inverse)
+        return aligned, aligned
+
+    _, aligned_rest = jax.lax.scan(step, depth_w[0], depth_w[1:])
+    aligned = jnp.concatenate([depth_w[:1], aligned_rest], axis=0)
+    return stitch_overwrite(aligned, stride, t_total)
+
+
+def stitch_joint_depth_camray(
+    depth_w: jnp.ndarray,  # (nw, B, 1, ws, H, W)
+    pose_w: jnp.ndarray,  # (nw, B, 16, ws)
+    intr_w: jnp.ndarray,  # (nw, B, 16, ws)
+    stride: int,
+    t_total: int,
+    key: jax.Array,
+    num_trials: int = 128,
+    min_samples: int = 10,
+) -> Dict[str, jnp.ndarray]:
+    """Joint Sim(3) alignment chain (reference joint_windowed_estimation,
+    dense_heads.py:360-492): each window's point map (from depth+pose+K on
+    the overlap) is RANSAC-aligned to the previous aligned window's."""
+    nw, b = depth_w.shape[:2]
+    ws = depth_w.shape[3]
+    overlap = ws - stride
+
+    def step(carry, inp):
+        prev_d, prev_p, prev_k = carry
+        cur_d, cur_p, cur_k, k_idx = inp
+        pred = {
+            "depth": cur_d[:, :, :overlap],
+            "camray": cur_p[:, :, :overlap],
+            "camray_intrinsics": cur_k[:, :, :overlap].reshape(b, 4, 4, overlap),
+        }
+        tgt = {
+            "depth": prev_d[:, :, stride:],
+            "camray": prev_p[:, :, stride:],
+            "camray_intrinsics": prev_k[:, :, stride:].reshape(b, 4, 4, overlap),
+        }
+        rel = sim3_overlap_solve(
+            pred, tgt, jax.random.fold_in(key, k_idx),
+            min_samples=min_samples, num_trials=num_trials,
+        )
+        applied = sim3_overlap_apply(
+            rel, {"depth": cur_d, "camray": cur_p, "camray_intrinsics": cur_k}
+        )
+        new = (applied["depth"], applied["camray"], cur_k)
+        return new, new
+
+    init = (depth_w[0], pose_w[0], intr_w[0])
+    _, rest = jax.lax.scan(step, init, (depth_w[1:], pose_w[1:], intr_w[1:], jnp.arange(1, nw)))
+    depth_all = jnp.concatenate([depth_w[:1], rest[0]], axis=0)
+    pose_all = jnp.concatenate([pose_w[:1], rest[1]], axis=0)
+    intr_all = jnp.concatenate([intr_w[:1], rest[2]], axis=0)
+    return {
+        "depth": stitch_overwrite(depth_all, stride, t_total),
+        "camray": stitch_overwrite(pose_all, stride, t_total),
+        "camray_intrinsics": stitch_overwrite(intr_all, stride, t_total),
+    }
+
+
+# ---------------------------------------------------------------------------
+# full forward
+# ---------------------------------------------------------------------------
+
+def l4p_forward(
+    params: Dict,
+    cfg: L4PConfig,
+    data: Dict[str, jnp.ndarray],
+    tasks: Sequence[str],
+    key: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """All-task sliding-window inference (reference L4P_VideoMAE.forward,
+    l4p_videomae.py:256-330).
+
+    data: {'rgb_b3thw', optional 'intrinsics_b44t',
+    'track_2d_pointquerries_bn3', 'track_2d_pointlabels_bn'}.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    tasks = tuple(tasks)
+    rgb = data["rgb_b3thw"]
+    b, _, t_total, h_img, w_img = rgb.shape
+    ws, stride = cfg.window_size[0], cfg.window_stride_t
+    assert (h_img, w_img) == cfg.window_size[1:], "fixed spatial size only (l4p_videomae.py:260)"
+    nw = (t_total - ws) // stride + 1
+    img_info = (ws, h_img, w_img)
+    heads = cfg.head_dict
+    intr = data.get("intrinsics_b44t")
+
+    enc = encode_windows(params["video_encoder"], cfg, rgb)
+
+    out: Dict[str, jnp.ndarray] = {}
+
+    def run_dense(task: str) -> jnp.ndarray:
+        hcfg = heads[task]
+        feats = [enc["hooks"][h_] for h_ in hcfg.dpt.hooks]  # each (nw, B, P, C)
+
+        def one(fw):
+            return dense_head_raw(params["task_heads"][task], hcfg, fw, img_info)
+
+        return jax.lax.map(one, feats, batch_size=min(cfg.dense_window_chunk, nw))
+
+    joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
+
+    for task in tasks:
+        if task == "track_2d":
+            tcfg = cfg.track
+            queries = data["track_2d_pointquerries_bn3"]
+            labels = data["track_2d_pointlabels_bn"]
+            n = queries.shape[1]
+            chunk = tcfg.max_queries
+            track_out: Dict[str, List[jnp.ndarray]] = {}
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                o = track_forward_windowed(
+                    params["task_heads"]["track_2d"], tcfg, enc["final"],
+                    queries[:, lo:hi], labels[:, lo:hi], stride,
+                )
+                for k, v in o.items():
+                    track_out.setdefault(k, []).append(v)
+            out.update({k: jnp.concatenate(v, axis=1) for k, v in track_out.items()})
+        elif task == "flow_2d_backward":
+            w_outs = run_dense(task)
+            out[f"{heads[task].task_name}_est_b2thw"] = stitch_overwrite(
+                w_outs, stride, t_total, flow_skip=True
+            )
+        elif task == "dyn_mask":
+            w_outs = run_dense(task)
+            out[f"{heads[task].task_name}_est_b1thw"] = stitch_overwrite(w_outs, stride, t_total)
+        elif task == "depth" and not joint:
+            w_outs = run_dense(task)
+            out[f"{heads[task].task_name}_est_b1thw"] = stitch_depth_aligned(
+                w_outs, stride, t_total, heads[task]
+            )
+        elif task == "camray" and not joint:
+            rays_w = run_dense(task).astype(jnp.float32)
+            pose_w, intr_w = camray_windows_to_cameras(
+                rays_w, heads[task], img_info, intr, stride, jax.random.fold_in(key, 7)
+            )
+            hname = heads[task].task_name
+            out[f"{hname}_est_b16t"] = stitch_overwrite(pose_w, stride, t_total)
+            out[f"{hname}_intrinsics_est_b16t"] = stitch_overwrite(intr_w, stride, t_total)
+        elif task in ("depth", "camray") and joint:
+            pass  # handled jointly below
+        else:
+            raise ValueError(f"unknown task {task}")
+
+    if joint:
+        depth_w = run_dense("depth")
+        rays_w = run_dense("camray").astype(jnp.float32)
+        pose_w, intr_w = camray_windows_to_cameras(
+            rays_w, heads["camray"], img_info, intr, stride, jax.random.fold_in(key, 7)
+        )
+        stitched = stitch_joint_depth_camray(
+            depth_w, pose_w, intr_w, stride, t_total, jax.random.fold_in(key, 11),
+            num_trials=cfg.sim3_num_trials, min_samples=cfg.sim3_min_samples,
+        )
+        out["depth_est_b1thw"] = stitched["depth"]
+        hname = heads["camray"].task_name
+        out[f"{hname}_est_b16t"] = stitched["camray"]
+        out[f"{hname}_intrinsics_est_b16t"] = stitched["camray_intrinsics"]
+    return out
+
+
+def l4p_forward_single_window(
+    params: Dict,
+    cfg: L4PConfig,
+    data: Dict[str, jnp.ndarray],
+    tasks: Sequence[str],
+    key: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """One 16-frame window, no stitching (reference forward_single_window,
+    l4p_videomae.py:234-254)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    rgb = data["rgb_b3thw"]
+    heads = cfg.head_dict
+    img_info = (rgb.shape[2], rgb.shape[3], rgb.shape[4])
+    hooks = cfg.all_hooks
+    enc = encoder_apply(params["video_encoder"], rgb, cfg.encoder, hooks=hooks, want_final=True)
+    feat_by_hook = {h_: f for h_, f in zip(hooks, enc["hooks"])}
+    intr = data.get("intrinsics_b44t")
+
+    out: Dict[str, jnp.ndarray] = {}
+    for task in tasks:
+        if task == "track_2d":
+            o = track_forward(
+                params["task_heads"]["track_2d"], cfg.track, enc["final"],
+                data["track_2d_pointquerries_bn3"], data["track_2d_pointlabels_bn"],
+            )
+            out.update({k: v for k, v in o.items() if not k.endswith("bnpc")
+                        and not k.endswith("_prompt_features_bnc")})
+            continue
+        hcfg = heads[task]
+        feats = [feat_by_hook[h_] for h_ in hcfg.dpt.hooks]
+        raw = dense_head_raw(params["task_heads"][task], hcfg, feats, img_info)
+        if hcfg.kind == "camray":
+            pose_w, intr_w = camray_windows_to_cameras(
+                raw[None].astype(jnp.float32), hcfg, img_info, intr, cfg.window_stride_t, key
+            )
+            out[f"{hcfg.task_name}_est_b16t"] = pose_w[0]
+            out[f"{hcfg.task_name}_intrinsics_est_b16t"] = intr_w[0]
+        else:
+            out[f"{hcfg.task_name}_est_{hcfg.task_suffix}"] = raw
+    return out

@@ -65,6 +65,91 @@ class TrackConfig:
         return 1 + int(self.estimate_vis) + int(self.estimate_depth)
 
 
+def init_track_params(cfg: TrackConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
+    """Random init of the full tracking head (prompt encoder + two-way
+    transformer + mask decoder), matching torch module defaults in shape."""
+    sam = cfg.sam
+    c = sam.embed_dim
+    keys = iter(jax.random.split(key, 256))
+
+    def lin(din, dout):
+        a = float(1.0 / jnp.sqrt(din))
+        return {
+            "weight": jax.random.uniform(next(keys), (dout, din), dtype, -a, a),
+            "bias": jax.random.uniform(next(keys), (dout,), dtype, -a, a),
+        }
+
+    def norm(d):
+        return {"weight": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+    def attn(downsample=1):
+        d_in = c
+        d_int = c // downsample
+        return {
+            "q_proj": lin(d_in, d_int),
+            "k_proj": lin(d_in, d_int),
+            "v_proj": lin(d_in, d_int),
+            "out_proj": lin(d_int, d_in),
+        }
+
+    dr = sam.attention_downsample_rate
+    layers = [
+        {
+            "self_attn": attn(1),
+            "norm1": norm(c),
+            "cross_attn_token_to_image": attn(dr),
+            "norm2": norm(c),
+            "mlp": {"lin1": lin(c, sam.mlp_dim), "lin2": lin(sam.mlp_dim, c)},
+            "norm3": norm(c),
+            "norm4": norm(c),
+            "cross_attn_image_to_token": attn(dr),
+        }
+        for _ in range(sam.sam_head_depth)
+    ]
+    d1, d2 = sam.decode_dims
+
+    def deconv(cin, cout, k):
+        import numpy as _np
+
+        fan = cin * int(_np.prod(k))
+        a = float(1.0 / jnp.sqrt(fan))
+        return {
+            "weight": jax.random.uniform(next(keys), (cin, cout, *k), dtype, -a, a),
+            "bias": jax.random.uniform(next(keys), (cout,), dtype, -a, a),
+        }
+
+    params = {
+        "prompt_encoder": {
+            "pe_gaussian": jax.random.normal(next(keys), (3, c // 2), dtype),
+            "point_embeddings": jax.random.normal(next(keys), (sam.num_point_embeddings, c), dtype),
+            "not_a_point_embed": jax.random.normal(next(keys), (c,), dtype),
+            "prompt_feature_embeddings": jax.random.normal(next(keys), (2, c), dtype),
+        },
+        "mask_decoder": {
+            "mask_tokens": jax.random.normal(next(keys), (cfg.num_mask_tokens, c), dtype),
+            "transformer": {
+                "layers": layers,
+                "final_attn_token_to_image": attn(dr),
+                "norm_final_attn": norm(c),
+            },
+            "upscale": {
+                "deconv1": deconv(c, d1, (2, 2, 2)),
+                "ln": norm(d1),
+                "deconv2": deconv(d1, d2, (1, 2, 2)),
+            },
+            "hypernet": [
+                {"layers": [lin(c, c), lin(c, c), lin(c, d2)]} for _ in range(cfg.num_mask_tokens)
+            ],
+        },
+    }
+    if cfg.prompt_using_features:
+        params["prompt_feature_linear"] = lin(c, c)
+    if cfg.attend_to_past:
+        params["processed_video_mask_token"] = jax.random.normal(next(keys), (c,), dtype)
+        params["processed_video_features_proj"] = lin(c, c)
+    return params
+
+
 def softargmax_xy(logits_nthw: jnp.ndarray, image_hw: Tuple[int, int]) -> jnp.ndarray:
     """Soft-argmax over HxW with pixel-center grid
     (sparse_heads.py:140-155). logits: (N, T, H, W) -> (N, T, 2) as (x, y)."""
@@ -104,6 +189,9 @@ def track_forward_item(
 
     img = enc_features if enc_features.ndim == 3 else enc_features[None]
     pe = dense_pe(params["prompt_encoder"], sam)
+    # prompts are computed in the query dtype (fp32 coords); the decoder runs
+    # in the encoder's compute dtype
+    sparse = sparse.astype(img.dtype)
     logits, processed = mask_decoder_apply(params["mask_decoder"], sam, img, pe, sparse)
 
     # (N, M, 2t, 4h, 4w) -> (N, M, T, H, W); align_corners=False
@@ -162,4 +250,157 @@ def track_forward(
         out[f"{t}_prompt_features_bnc"] = item["prompt_features_nc"]
     if cfg.attend_to_past:
         out[f"{t}_enc_features_with_track_history_bnpc"] = item["enc_history_npc"]
+    return out
+
+
+def track_forward_windowed(
+    params: Dict,
+    cfg: TrackConfig,
+    enc_final_wbpc: jnp.ndarray,  # (num_windows, B, P, C) final encoder feats
+    queries_bn3: jnp.ndarray,
+    labels_bn: jnp.ndarray,
+    window_stride: int = 8,
+) -> Dict[str, jnp.ndarray]:
+    """Causal sliding-window tracking as a `lax.scan` over windows
+    (reference forward_windowed_core, sparse_heads.py:213-495; forward
+    direction only, B==1, matching the released config's
+    estimation_directions=[1]).
+
+    Carries: current re-queries, prompt features + labels, masked token
+    memory, and the T-length output buffers. The reference's per-point
+    re-query Python loop (sparse_heads.py:464-479) is an argmax + gather.
+    """
+    sam = cfg.sam
+    nw, b, p, c = enc_final_wbpc.shape
+    n = queries_bn3.shape[1]
+    ws = cfg.image_size[0]
+    t_total = (nw - 1) * window_stride + ws
+    te, he, we_ = sam.image_embedding_size
+    dtype = queries_bn3.dtype  # buffers/queries (fp32 coordinates)
+    mdtype = enc_final_wbpc.dtype  # model compute dtype (e.g. bf16 on TPU)
+
+    if cfg.attend_to_past:
+        hist0 = jnp.broadcast_to(
+            params["processed_video_mask_token"].astype(mdtype)[None, None, None, :], (b, n, p, c)
+        )
+    else:
+        hist0 = jnp.zeros((b, n, p, c), mdtype)
+
+    carry0 = {
+        "queries": queries_bn3,
+        "prompt_feats": jnp.zeros((b, n, c), mdtype),
+        "prompt_labels": jnp.zeros((b, n), dtype),
+        "history": hist0,
+        "traj": jnp.zeros((b, n, 2, t_total), dtype),
+        "vis": -10.0 * jnp.ones((b, n, 1, t_total), dtype),
+        "depth": jnp.zeros((b, n, 1, t_total), dtype),
+    }
+
+    frame_ids = jnp.arange(ws, dtype=dtype)
+
+    def step(carry, inputs):
+        w_idx, enc_bpc = inputs
+        start = (w_idx * window_stride).astype(dtype)
+        cur_q = carry["queries"]
+
+        # validity: results exist at t >= query time (sparse_heads.py:303-319)
+        valid_t = (frame_ids[None, None, :] + start + 0.5 - cur_q[:, :, 0:1]) >= 0  # (B,N,ws)
+        valid_bn1t = valid_t[:, :, None, :]
+        valid_bn = valid_t.sum(-1) > 0
+
+        # labels 0/1/2 (sparse_heads.py:322-335)
+        lab = jnp.where(valid_bn, 1.0, 0.0).astype(dtype)
+        if cfg.modify_pointlabels_for_windowing:
+            eq_input = ((cur_q == queries_bn3).sum(-1)) > 0
+            lab = jnp.where(jnp.logical_and(valid_bn, ~eq_input), 2.0, lab)
+
+        q_off = cur_q.at[:, :, 0].add(-start)
+
+        if cfg.attend_to_past:
+            enc_in = enc_bpc[:, None] + carry["history"]  # (B,N,P,C)
+        else:
+            enc_in = enc_bpc
+
+        out = track_forward(
+            params, cfg, enc_in, q_off, lab, carry["prompt_feats"], carry["prompt_labels"]
+        )
+        tname = cfg.task_name
+        start_i = (w_idx * window_stride).astype(jnp.int32)
+
+        def masked_write(buf, vals):
+            old = jax.lax.dynamic_slice_in_dim(buf, start_i, ws, axis=-1)
+            new = jnp.where(valid_bn1t, vals.astype(buf.dtype), old)
+            return jax.lax.dynamic_update_slice_in_dim(buf, new, start_i, axis=-1)
+
+        traj_w = out[f"{tname}_traj_est_bn2t"]
+        vis_buf = masked_write(carry["vis"], out[f"{tname}_vis_est_bn1t"])
+        traj_buf = jax.lax.dynamic_update_slice_in_dim(
+            carry["traj"],
+            jnp.where(valid_bn1t, traj_w.astype(dtype),
+                      jax.lax.dynamic_slice_in_dim(carry["traj"], start_i, ws, axis=-1)),
+            start_i,
+            axis=-1,
+        )
+        depth_buf = carry["depth"]
+        if cfg.estimate_depth:
+            depth_buf = masked_write(carry["depth"], out[f"{tname}_depth_est_bn1t"])
+
+        # ---- prepare next window (skipped after the last window,
+        # sparse_heads.py:381-486) ----
+        is_last = w_idx >= nw - 1
+
+        new_pf = carry["prompt_feats"]
+        new_pl = carry["prompt_labels"]
+        if cfg.prompt_using_features:
+            new_pf = jnp.where(valid_bn[..., None], out[f"{tname}_prompt_features_bnc"].astype(mdtype), new_pf)
+            new_pl = jnp.where(valid_bn, 1.0, new_pl).astype(dtype)
+
+        new_hist = carry["history"]
+        if cfg.attend_to_past:
+            h_full = out[f"{tname}_enc_features_with_track_history_bnpc"].astype(mdtype)
+            h_grid = h_full.reshape(b, n, te, he, we_, c)
+            keep = h_grid[:, :, te // 2 :]  # overlap tubelet steps (sparse_heads.py:428-434)
+            mask_tok = jnp.broadcast_to(
+                params["processed_video_mask_token"].astype(mdtype)[None, None, None, None, None, :],
+                (b, n, te // 2, he, we_, c),
+            )
+            new_hist = jnp.concatenate([keep, mask_tok], axis=2).reshape(b, n, p, c)
+
+        # re-query at the argmax-visibility frame inside the next overlap
+        # (sparse_heads.py:450-486)
+        next_start = start_i + window_stride
+        overlap_len = ws - window_stride
+        vis_ov = jax.lax.dynamic_slice_in_dim(vis_buf, next_start, overlap_len, axis=-1)
+        traj_ov = jax.lax.dynamic_slice_in_dim(traj_buf, next_start, overlap_len, axis=-1)
+        best = jnp.argmax(vis_ov[:, :, 0, :], axis=-1)  # (B,N)
+        best_xy = jnp.take_along_axis(traj_ov, best[:, :, None, None], axis=-1)[..., 0]  # (B,N,2)
+        new_t = best.astype(dtype) + next_start.astype(dtype) + 0.5
+        cand_q = jnp.concatenate([new_t[..., None], best_xy], axis=-1)
+        q_valid = cand_q[..., 0] > cur_q[..., 0]
+        new_q = jnp.where(q_valid[..., None], cand_q, cur_q)
+
+        def keep_or(new, old):
+            return jnp.where(is_last, old, new)
+
+        next_carry = {
+            "queries": keep_or(new_q, cur_q),
+            "prompt_feats": keep_or(new_pf, carry["prompt_feats"]),
+            "prompt_labels": keep_or(new_pl, carry["prompt_labels"]),
+            "history": keep_or(new_hist, carry["history"]),
+            "traj": traj_buf,
+            "vis": vis_buf,
+            "depth": depth_buf,
+        }
+        return next_carry, None
+
+    w_ids = jnp.arange(nw)
+    final, _ = jax.lax.scan(step, carry0, (w_ids, enc_final_wbpc))
+
+    t = cfg.task_name
+    out = {
+        f"{t}_traj_est_bn2t": final["traj"],
+        f"{t}_vis_est_bn1t": final["vis"],
+    }
+    if cfg.estimate_depth:
+        out[f"{t}_depth_est_bn1t"] = final["depth"]
     return out
