@@ -73,7 +73,64 @@ def convert_encoder(sd: Mapping[str, np.ndarray], cfg: EncoderConfig, prefix: st
             "bias": jnp.asarray(g("norm.bias"), dtype),
         },
     }
+    if cfg.cos_attn:
+        params["blocks"]["attn_scale"] = stack("blocks.{}.attn.scale")
+    if cfg.use_learnable_pos_emb and (prefix + "pos_embed") in sd:
+        params["pos_embed"] = jnp.asarray(g("pos_embed")[:, : cfg.num_tokens], dtype)
+    if cfg.cam_emb_placed_at is not None:
+        params["cam_emb"] = {
+            "weight": jnp.asarray(g("cam_emb.cam_emb_proj.weight"), dtype),
+            "bias": jnp.asarray(g("cam_emb.cam_emb_proj.bias"), dtype),
+        }
     return params
+
+
+def convert_mae(sd: Mapping[str, np.ndarray], cfg, prefix: str = "", dtype=jnp.float32) -> Dict:
+    """Convert a PretrainVisionTransformer (MAE) checkpoint
+    (modeling_pretrain.py:246-328). cfg: l4p_tpu.models.mae.MAEConfig."""
+    from l4p_tpu.models.mae import MAEConfig  # local import to avoid cycle
+
+    assert isinstance(cfg, MAEConfig)
+    g = lambda k: _np(sd[prefix + k])
+    enc = convert_encoder(sd, cfg.encoder, prefix=prefix + "encoder.", dtype=dtype)
+    dec_cfg = cfg.decoder_cfg
+    d = dec_cfg.depth
+
+    def stack(key_fmt):
+        return jnp.asarray(np.stack([g(key_fmt.format(i)) for i in range(d)]), dtype)
+
+    decoder = {
+        "blocks": {
+            "norm1_w": stack("decoder.blocks.{}.norm1.weight"),
+            "norm1_b": stack("decoder.blocks.{}.norm1.bias"),
+            "qkv_w": stack("decoder.blocks.{}.attn.qkv.weight"),
+            "q_bias": stack("decoder.blocks.{}.attn.q_bias"),
+            "v_bias": stack("decoder.blocks.{}.attn.v_bias"),
+            "proj_w": stack("decoder.blocks.{}.attn.proj.weight"),
+            "proj_b": stack("decoder.blocks.{}.attn.proj.bias"),
+            "norm2_w": stack("decoder.blocks.{}.norm2.weight"),
+            "norm2_b": stack("decoder.blocks.{}.norm2.bias"),
+            "fc1_w": stack("decoder.blocks.{}.mlp.fc1.weight"),
+            "fc1_b": stack("decoder.blocks.{}.mlp.fc1.bias"),
+            "fc2_w": stack("decoder.blocks.{}.mlp.fc2.weight"),
+            "fc2_b": stack("decoder.blocks.{}.mlp.fc2.bias"),
+        },
+        "norm": {"weight": jnp.asarray(g("decoder.norm.weight"), dtype),
+                 "bias": jnp.asarray(g("decoder.norm.bias"), dtype)},
+    }
+    from l4p_tpu.models.encoder import sinusoid_pos_embed as _spe
+
+    return {
+        "encoder": enc,
+        "decoder": decoder,
+        "encoder_to_decoder": {"weight": jnp.asarray(g("encoder_to_decoder.weight"), dtype)},
+        "mask_token": jnp.asarray(g("mask_token"), dtype),
+        "decoder_pos_embed": jnp.asarray(_spe(cfg.encoder.num_tokens, cfg.decoder_embed_dim), dtype),
+        "decoder_head": {
+            "weight": jnp.asarray(g("decoder.head.weight"), dtype),
+            "bias": jnp.asarray(g("decoder.head.bias"), dtype),
+        },
+    }
 
 
 def convert_dpt(sd: Mapping[str, np.ndarray], cfg: DPTConfig, prefix: str = "", dtype=jnp.float32) -> Dict:

@@ -22,7 +22,7 @@ from l4p_tpu.checkpoint import (
     state_dict_to_numpy,
 )
 from l4p_tpu.models.dpt import DPTConfig, init_dpt_params
-from l4p_tpu.models.encoder import GIANT, init_encoder_params
+from l4p_tpu.models.encoder import GIANT, EncoderConfig, init_encoder_params
 from l4p_tpu.models.l4p import DenseHeadConfig, L4PConfig
 from l4p_tpu.models.sam import SamConfig
 from l4p_tpu.models.track import TrackConfig, init_track_params
@@ -32,6 +32,7 @@ _DENSE_KINDS = {
     "VideoMAEDepthDPTHead": "depth",
     "VideoMAEDynMaskDPTHead": "dyn_mask",
     "VideoMAETraj3DDPTHead": "camray",
+    "VideoMAECameraDPTHead": "camera_rays",  # raw 6-ch rays (dense_heads.py:220-254)
 }
 
 _CAMRAY_DPT_DEFAULTS = dict(
@@ -45,8 +46,13 @@ def _head_from_yaml(name: str, node: Mapping[str, Any]) -> Any:
     cls = node["class_path"].rsplit(".", 1)[-1]
     args = dict(node.get("init_args", {}))
     if cls == "VideoMAETrack2DSamHead":
+        image_size = tuple(args.get("image_size", (16, 224, 224)))
+        patch_size = tuple(args.get("patch_size", (2, 14, 14)))
+        emb_size = tuple(image_size[i] // patch_size[i] for i in range(3))
         sam = SamConfig(
             embed_dim=args.get("prompt_embed_dim", 1408),
+            image_embedding_size=emb_size,
+            input_image_size=image_size,
             num_point_embeddings=args.get("num_point_embeddings", 2),
             prompt_using_features=args.get("prompt_using_features", False),
             num_mask_tokens=1 + int(args.get("estimate_vis", False)) + int(args.get("estimate_depth", False)),
@@ -54,6 +60,8 @@ def _head_from_yaml(name: str, node: Mapping[str, Any]) -> Any:
         )
         return TrackConfig(
             task_name=args.get("task_name", "track_2d"),
+            image_size=image_size,
+            patch_size=patch_size,
             estimate_vis=args.get("estimate_vis", False),
             estimate_depth=args.get("estimate_depth", False),
             modify_pointlabels_for_windowing=args.get("modify_pointlabels_for_windowing", False),
@@ -68,9 +76,16 @@ def _head_from_yaml(name: str, node: Mapping[str, Any]) -> Any:
         raise ValueError(f"unknown head class {cls}")
     kind = _DENSE_KINDS[cls]
     hooks = tuple(args.get("hooks_idx") or (16, 24, 32, 40))
-    out_nchan = 6 if kind == "camray" else args.get("out_nchan", 2 if kind == "flow" else 1)
+    out_nchan = 6 if kind in ("camray", "camera_rays") else args.get("out_nchan", 2 if kind == "flow" else 1)
     dpt_kw: Dict[str, Any] = dict(num_channels=out_nchan, hooks=hooks)
-    if kind == "camray":
+    # reference init_arg `embed_dim` sets the encoder token width fed to the
+    # DPT (dense_heads.py:27); extension keys allow small test configs
+    if "embed_dim" in args:
+        dpt_kw["dim_tokens"] = args["embed_dim"]
+    for ext in ("layer_dims", "feature_dim", "last_dim"):
+        if ext in args:
+            dpt_kw[ext] = tuple(args[ext]) if ext == "layer_dims" else args[ext]
+    if kind in ("camray", "camera_rays"):
         dpt_kw.update(_CAMRAY_DPT_DEFAULTS)
         for k in ("actpost_scale_factors", "fusion_scale_factors", "output_size"):
             if k in args:
@@ -107,9 +122,17 @@ def load_model_config(path: str) -> Tuple[L4PConfig, Tuple[str, ...]]:
         else:
             heads.append((name, cfg))
 
+    # extension over the reference schema: the encoder is hardcoded to
+    # ViT-giant in the reference (l4p_videomae.py:163-186); an optional
+    # `encoder:` mapping in l4p_model.init_args overrides it (small configs,
+    # tests)
+    enc = GIANT
+    if "encoder" in m:
+        enc = EncoderConfig(**m["encoder"])
+
     return (
         L4PConfig(
-            encoder=GIANT,
+            encoder=enc,
             window_size=tuple(m.get("window_size", (16, 224, 224))),
             window_stride_t=m.get("window_stride_T", 8),
             joint_alignment=m.get("joint_alignment", False),

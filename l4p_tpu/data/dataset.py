@@ -119,7 +119,10 @@ class L4PDataset:
         track_2d_querry_sampling_spacing: float = 0.02,
         remove_queries_outside_bounds: bool = True,
         rng: Optional[np.random.Generator] = None,
+        sample_size: Optional[Tuple[int, int, int]] = None,
     ) -> None:
+        if sample_size is not None:  # override the (16, 224, 224) default
+            self.default_sample_size = tuple(sample_size)
         self.crop_size = crop_size
         self.track_2d_traj_per_sample = track_2d_traj_per_sample
         self.center_crop = center_crop

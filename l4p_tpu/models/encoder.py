@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -45,6 +45,14 @@ class EncoderConfig:
     tubelet_size: int = 2
     all_frames: int = 16
     ln_eps: float = 1e-6
+    cos_attn: bool = False  # cosine attention variant (modeling_finetune.py:72-134)
+    use_learnable_pos_emb: bool = False  # (modeling_pretrain.py:73-77)
+    # Pallas kernel on TPU (falls back to XLA). Default off until verified on
+    # hardware — the tunnel died before the kernel could be benchmarked.
+    use_flash_attention: bool = False
+    # optional Plucker camera embedding (reference l4p/models/blocks.py:13-53)
+    cam_emb_placed_at: Optional[str] = None  # None | 'input' | 'output'
+    cam_emb_type: str = "add"  # 'add' | 'concat'
 
     @property
     def tokens_thw(self):
@@ -119,6 +127,15 @@ def init_encoder_params(cfg: EncoderConfig, key: jax.Array, dtype=jnp.float32) -
         },
         "norm": {"weight": jnp.ones((e,), dtype), "bias": jnp.zeros((e,), dtype)},
     }
+    if cfg.cos_attn:
+        params["blocks"]["attn_scale"] = jnp.log(10.0) * jnp.ones((d, cfg.num_heads, 1, 1), dtype)
+    if cfg.cam_emb_placed_at is not None:
+        in_dim = 6 + (e if cfg.cam_emb_type == "concat" else 0)
+        a = float(np.sqrt(1.0 / in_dim))
+        params["cam_emb"] = {
+            "weight": jax.random.uniform(ks[5], (e, in_dim), dtype, -a, a),
+            "bias": jnp.zeros((e,), dtype),
+        }
     return params
 
 
@@ -139,9 +156,19 @@ def patchify(x_b3thw: jnp.ndarray, w_flat: jnp.ndarray, b: jnp.ndarray, cfg: Enc
     return (out + b.astype(jnp.float32)).astype(x.dtype)
 
 
+def _attention(q, k, v, scale: float, cfg: EncoderConfig):
+    if cfg.use_flash_attention:
+        from l4p_tpu.ops.flash_attention import attention_auto
+
+        return attention_auto(q, k, v, scale)
+    return mha(q, k, v, scale)
+
+
 def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig) -> jnp.ndarray:
     """One pre-LN transformer block (reference modeling_finetune.py:245-252,
-    gamma disabled per released init_values=0.0, see :239-243)."""
+    gamma disabled per released init_values=0.0, see :239-243). With
+    cfg.cos_attn, uses cosine-similarity attention with a learnable clamped
+    log scale (modeling_finetune.py:109-134)."""
     B, N, E = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
@@ -150,7 +177,14 @@ def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig) -> jnp.ndarray:
     qkv = jnp.einsum("bne,fe->bnf", h, p["qkv_w"].astype(h.dtype), preferred_element_type=jnp.float32)
     qkv = (qkv + qkv_bias.astype(jnp.float32)).astype(x.dtype)
     qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
-    attn_out = mha(qkv[0], qkv[1], qkv[2], scale=hd ** -0.5)
+    if cfg.cos_attn:
+        qn = qkv[0] / jnp.linalg.norm(qkv[0].astype(jnp.float32), axis=-1, keepdims=True).astype(x.dtype)
+        kn = qkv[1] / jnp.linalg.norm(qkv[1].astype(jnp.float32), axis=-1, keepdims=True).astype(x.dtype)
+        # logit scale clamped at log(1/0.01) (modeling_finetune.py:122-125)
+        logit_scale = jnp.exp(jnp.minimum(p["attn_scale"].astype(jnp.float32), 4.6052))  # (H,1,1)
+        attn_out = mha(qn * logit_scale[None].astype(x.dtype), kn, qkv[2], scale=1.0)
+    else:
+        attn_out = _attention(qkv[0], qkv[1], qkv[2], hd ** -0.5, cfg)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, E)
     proj = jnp.einsum("bne,fe->bnf", attn_out, p["proj_w"].astype(x.dtype), preferred_element_type=jnp.float32)
     x = x + (proj + p["proj_b"].astype(jnp.float32)).astype(x.dtype)
@@ -167,12 +201,45 @@ def _slice_blocks(blocks: Dict, lo: int, hi: int) -> Dict:
     return {k: v[lo:hi] for k, v in blocks.items()}
 
 
+def plucker_camera_embedding(
+    params: Dict,
+    feat_blc: jnp.ndarray,
+    emb_thw: Tuple[int, int, int],
+    intrinsics_b44t: jnp.ndarray,
+    extrinsics_b44t: jnp.ndarray,
+    embed_type: str = "add",
+) -> jnp.ndarray:
+    """Project 6-ch Plucker ray maps into the token stream (reference
+    l4p/models/blocks.py:26-53): rays at the patch grid, temporally
+    interpolated to tubelet steps, linearly projected, added to tokens."""
+    from l4p_tpu.geometry.core import get_rays_plucker
+    from l4p_tpu.ops.conv import linear
+    from l4p_tpu.ops.resize import resize_linear
+
+    b = intrinsics_b44t.shape[0]
+    et, eh, ew = emb_thw
+    camray, _ = get_rays_plucker(intrinsics_b44t, extrinsics_b44t, (eh, ew), normalize_dist=False)
+    # (B,6,T,h,w) -> temporal linear interp to et steps (blocks.py:36-43)
+    t_full = camray.shape[2]
+    flat = camray.transpose(0, 3, 4, 1, 2).reshape(b, -1, t_full)
+    flat = resize_linear(flat, (et,), (2,), align_corners=False)
+    plucker = flat.reshape(b, eh, ew, 6, et).transpose(0, 4, 1, 2, 3).reshape(b, -1, 6)
+    plucker = plucker.astype(feat_blc.dtype)
+    if embed_type == "concat":
+        emb = linear(jnp.concatenate([feat_blc, plucker], -1), params["weight"], params["bias"])
+    else:
+        emb = linear(plucker, params["weight"], params["bias"])
+    return feat_blc + emb
+
+
 def encoder_apply(
     params: Dict,
     x_b3thw: jnp.ndarray,
     cfg: EncoderConfig = GIANT,
     hooks: Sequence[int] = (14, 21, 28, 36),
     want_final: bool = True,
+    intrinsics_b44t: Optional[jnp.ndarray] = None,
+    extrinsics_b44t: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the encoder, returning only what the heads consume.
 
@@ -185,7 +252,18 @@ def encoder_apply(
     Returns {'hooks': [feat_bpc per hook], 'final': normed final feature}.
     """
     x = patchify(x_b3thw, params["patch_embed"]["weight"], params["patch_embed"]["bias"], cfg)
-    x = x + params["pos_embed"].astype(x.dtype)  # non-learnable table, stop-grad by construction
+    pos = params["pos_embed"].astype(x.dtype)
+    x = x + (pos if cfg.use_learnable_pos_emb else jax.lax.stop_gradient(pos))
+
+    emb_thw = (
+        x_b3thw.shape[2] // cfg.tubelet_size,
+        x_b3thw.shape[3] // cfg.patch_size,
+        x_b3thw.shape[4] // cfg.patch_size,
+    )
+    if cfg.cam_emb_placed_at == "input":
+        x = plucker_camera_embedding(
+            params["cam_emb"], x, emb_thw, intrinsics_b44t, extrinsics_b44t, cfg.cam_emb_type
+        )
 
     hooks = list(hooks)
     boundaries = sorted(set([h for h in hooks if h > 0] + [cfg.depth]))
@@ -216,6 +294,16 @@ def encoder_apply(
     final = layer_norm(x, params["norm"]["weight"], params["norm"]["bias"], cfg.ln_eps)
     if cfg.depth in hooks:
         feats[cfg.depth] = final
+
+    if cfg.cam_emb_placed_at == "output":
+        # reference applies the embedding to every feature level
+        # (l4p_videomae.py:117-120)
+        emb = lambda f: plucker_camera_embedding(
+            params["cam_emb"], f, emb_thw, intrinsics_b44t, extrinsics_b44t, cfg.cam_emb_type
+        )
+        feats = {k: emb(v) for k, v in feats.items()}
+        final = emb(final)
+
     out = {"hooks": [feats[h] for h in hooks]}
     if want_final:
         out["final"] = final

@@ -122,7 +122,13 @@ class L4PConfig:
 # encoding
 # ---------------------------------------------------------------------------
 
-def encode_windows(enc_params: Dict, cfg: L4PConfig, rgb_b3thw: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def encode_windows(
+    enc_params: Dict,
+    cfg: L4PConfig,
+    rgb_b3thw: jnp.ndarray,
+    intrinsics_b44t: Optional[jnp.ndarray] = None,
+    extrinsics_b44t: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
     """Slice the video into overlapping windows and encode them all.
 
     Returns {'hooks': [(nw, B, P, C) per hook], 'final': (nw, B, P, C)}.
@@ -139,12 +145,27 @@ def encode_windows(enc_params: Dict, cfg: L4PConfig, rgb_b3thw: jnp.ndarray) -> 
     )(starts)  # (nw, B, 3, ws, H, W)
 
     hooks = cfg.all_hooks
+    use_cam = cfg.encoder.cam_emb_placed_at is not None
+    if use_cam:
+        # encoder expects normalized intrinsics (l4p_videomae.py:225-232)
+        k_norm = normalize_intrinsics(intrinsics_b44t.astype(jnp.float32), h, w)
+        k_w = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(k_norm, s, ws, axis=3))(starts)
+        e_w = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(extrinsics_b44t, s, ws, axis=3))(starts)
+        inputs = (windows, k_w, e_w)
+    else:
+        inputs = (windows,)
 
-    def enc_one(xw):
-        out = encoder_apply(enc_params, xw, cfg.encoder, hooks=hooks, want_final=True)
+    def enc_one(xs):
+        xw = xs[0]
+        kw = xs[1] if use_cam else None
+        ew = xs[2] if use_cam else None
+        out = encoder_apply(
+            enc_params, xw, cfg.encoder, hooks=hooks, want_final=True,
+            intrinsics_b44t=kw, extrinsics_b44t=ew,
+        )
         return {"hooks": out["hooks"], "final": out["final"]}
 
-    res = jax.lax.map(enc_one, windows, batch_size=min(cfg.enc_window_chunk, nw))
+    res = jax.lax.map(enc_one, inputs, batch_size=min(cfg.enc_window_chunk, nw))
     return {"hooks": {h: f for h, f in zip(hooks, res["hooks"])}, "final": res["final"]}
 
 
@@ -353,7 +374,7 @@ def l4p_forward(
     heads = cfg.head_dict
     intr = data.get("intrinsics_b44t")
 
-    enc = encode_windows(params["video_encoder"], cfg, rgb)
+    enc = encode_windows(params["video_encoder"], cfg, rgb, intr, data.get("extrinsics_b44t"))
 
     out: Dict[str, jnp.ndarray] = {}
 
@@ -393,6 +414,13 @@ def l4p_forward(
         elif task == "dyn_mask":
             w_outs = run_dense(task)
             out[f"{heads[task].task_name}_est_b1thw"] = stitch_overwrite(w_outs, stride, t_total)
+        elif task in heads and heads[task].kind == "camera_rays":
+            # raw ray-map head: overwrite stitch, no aligner
+            # (dense_heads.py:220-254 with overlap_aligner_type=None)
+            w_outs = run_dense(task)
+            out[f"{heads[task].task_name}_est_b{heads[task].out_nchan}thw"] = stitch_overwrite(
+                w_outs, stride, t_total
+            )
         elif task == "depth" and not joint:
             w_outs = run_dense(task)
             out[f"{heads[task].task_name}_est_b1thw"] = stitch_depth_aligned(

@@ -1,0 +1,71 @@
+"""Pallas TPU attention kernel for the encoder's 2048-token windows.
+
+The reference materializes full (N, N) softmax matrices in HBM per block
+(modeling_finetune.py:180-186). At window size 2048 the whole K/V for one
+(batch, head) fits in VMEM, so each kernel instance computes one q-block's
+rows entirely on-chip: scores and the softmax never touch HBM.
+
+Layout: q,k,v (B, H, N, D). D=88 for ViT-giant; the kernel pads the lane
+dim to 128 internally via the block specs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (N, D)
+    v = v_ref[0]  # (N, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, N)
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: float, block_q: int = 256) -> jnp.ndarray:
+    """q,k,v: (B, H, N, D) -> (B, H, N, D). Softmax in fp32 on-chip."""
+    b, h, n, d = q.shape
+    bh = b * h
+    qf = q.reshape(bh, n, d)
+    kf = k.reshape(bh, n, d)
+    vf = v.reshape(bh, n, d)
+    bq = min(block_q, n)
+    assert n % bq == 0
+
+    grid = (bh, n // bq)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+    )(qf, kf, vf)
+    return out.reshape(b, h, n, d)
+
+
+def attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Pallas kernel on TPU; XLA fallback elsewhere (tests on CPU)."""
+    from l4p_tpu.ops.attention import mha
+
+    if jax.default_backend() == "tpu" and q.shape[-2] == k.shape[-2] and q.shape[-2] % 256 == 0:
+        return flash_attention(q, k, v, scale)
+    return mha(q, k, v, scale)

@@ -127,12 +127,21 @@ def make_optimizer(
     total_steps: int = 10000,
     weight_decay: float = 0.05,
     pct_start: float = 0.1,
+    clip_norm: float = 1.0,
 ) -> optax.GradientTransformation:
-    """AdamW + one-cycle (reference configure_optimizers, l4p.py:111-126)."""
+    """AdamW + one-cycle schedule (reference configure_optimizers,
+    l4p.py:111-126) with global-norm clipping (the exp-depth head makes
+    unclipped early steps explosive)."""
+    # optax's one-cycle NaNs if the warmup phase rounds to zero steps —
+    # ensure at least one step of warmup
+    pct_start = max(pct_start, min(2.0 / max(total_steps, 2), 0.5))
     sched = optax.cosine_onecycle_schedule(
-        transition_steps=total_steps, peak_value=lr, pct_start=pct_start
+        transition_steps=max(total_steps, 4), peak_value=lr, pct_start=pct_start
     )
-    return optax.adamw(sched, weight_decay=weight_decay)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
 
 
 def train_step(

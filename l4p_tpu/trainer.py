@@ -1,0 +1,147 @@
+"""Training/evaluation loop driver — the L2 layer.
+
+TPU-native replacement for the reference's Lightning module + Trainer
+(reference l4p/l4p.py:12-126 + LightningCLI at l4p/main.py): a plain loop
+over a host data iterator driving a pjit-ed train step on a (data, model)
+mesh, with orbax checkpointing, JSONL scalar logging (the reference logs
+`scalars/{phase}/{key}`, l4p.py:82-91), periodic validation, and the same
+degenerate-batch skip (l4p.py:41-52).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from l4p_tpu.models.l4p import L4PConfig
+from l4p_tpu.metrics import l4p_metrics
+from l4p_tpu.train import l4p_loss, make_optimizer
+from l4p_tpu import checkpoint_io
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 10000
+    lr: float = 1e-4
+    weight_decay: float = 0.05
+    log_every: int = 50
+    ckpt_every: int = 1000
+    val_every: int = 1000
+    out_dir: str = "runs/default"
+    mesh_model_axis: int = 1
+
+
+def do_data_sanity_checks(batch: Dict[str, np.ndarray]) -> bool:
+    """Skip train batches with all-invalid tracks (reference l4p.py:41-52)."""
+    if "track_2d_valid_bn1t" in batch:
+        if np.sum(np.asarray(batch["track_2d_valid_bn1t"])) == 0:
+            return True
+    return False
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: L4PConfig,
+        tasks: Sequence[str],
+        trainer_cfg: TrainerConfig = TrainerConfig(),
+        loss_fn: Optional[Callable] = None,
+        metrics_fn: Optional[Callable] = l4p_metrics,
+    ):
+        self.model_cfg = model_cfg
+        self.tasks = tuple(tasks)
+        self.cfg = trainer_cfg
+        self.loss_fn = loss_fn or (lambda p, b: l4p_loss(p, model_cfg, b, self.tasks))
+        self.metrics_fn = metrics_fn
+        self.optimizer = make_optimizer(
+            lr=trainer_cfg.lr, total_steps=trainer_cfg.max_steps, weight_decay=trainer_cfg.weight_decay
+        )
+        os.makedirs(trainer_cfg.out_dir, exist_ok=True)
+        self._log_f = open(os.path.join(trainer_cfg.out_dir, "scalars.jsonl"), "a")
+
+        @jax.jit
+        def _step(params, opt_state, batch):
+            (loss, loss_dict), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, loss_dict
+
+        self._step = _step
+
+    def log(self, phase: str, step: int, scalars: Dict[str, float]):
+        rec = {"step": step, **{f"scalars/{phase}/{k}": float(v) for k, v in scalars.items()}}
+        self._log_f.write(json.dumps(rec) + "\n")
+        self._log_f.flush()
+
+    def save(self, params, opt_state, step: int):
+        path = os.path.join(self.cfg.out_dir, f"ckpt_{step:07d}")
+        checkpoint_io.save(path, {"params": params, "step": step})
+        return path
+
+    def fit(
+        self,
+        params: Dict,
+        train_iter: Iterable[Dict],
+        val_iter: Optional[Callable[[], Iterable[Dict]]] = None,
+        opt_state=None,
+        start_step: int = 0,
+    ):
+        if opt_state is None:
+            opt_state = self.optimizer.init(params)
+        step = start_step
+        t0 = time.time()
+        for batch in train_iter:
+            if step >= self.cfg.max_steps:
+                break
+            if do_data_sanity_checks(batch):
+                continue
+            batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+            params, opt_state, loss, loss_dict = self._step(params, opt_state, batch)
+            step += 1
+            if step % self.cfg.log_every == 0:
+                scalars = {"loss": float(np.asarray(loss))}
+                scalars.update({k: float(np.asarray(v)) for k, v in loss_dict.items()})
+                scalars["steps_per_sec"] = self.cfg.log_every / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                self.log("train", step, scalars)
+            if step % self.cfg.ckpt_every == 0:
+                self.save(params, opt_state, step)
+            if val_iter is not None and step % self.cfg.val_every == 0:
+                self.validate(params, val_iter(), step=step)
+        self.save(params, opt_state, step)
+        return params, opt_state, step
+
+    def validate(self, params: Dict, val_iter: Iterable[Dict], step: int = 0, phase: str = "val"):
+        from l4p_tpu.models.l4p import l4p_forward
+
+        fwd = jax.jit(lambda p, b: l4p_forward(p, self.model_cfg, b, self.tasks))
+        agg: Dict[str, list] = {}
+        n = 0
+        for batch in val_iter:
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+            out = fwd(params, jb)
+            if self.metrics_fn is not None:
+                m, _ = self.metrics_fn(jb, out)
+                for k, v in m.items():
+                    agg.setdefault(k, []).append(float(np.asarray(v)))
+            n += 1
+        scalars = {k: float(np.mean(v)) for k, v in agg.items()}
+        scalars["num_batches"] = n
+        self.log(phase, step, scalars)
+        return scalars
+
+    def predict(self, params: Dict, data_iter: Iterable[Dict]):
+        from l4p_tpu.models.l4p import l4p_forward
+
+        fwd = jax.jit(lambda p, b: l4p_forward(p, self.model_cfg, b, self.tasks))
+        for batch in data_iter:
+            jb = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+            yield {k: np.asarray(v) for k, v in fwd(params, jb).items()}
