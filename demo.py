@@ -50,8 +50,17 @@ def run_sequence(params, cfg, tasks, batch, out_dir, seq_name, dtype=jnp.bfloat1
     )
     print(f"[{seq_name}] wrote {vis_path}")
     if "depth_est_b1thw" in out_np and "traj3d_est_b16t" in out_np:
-        plys = generate_4d_visualization(batch, out_np, os.path.join(out_dir, seq_name), stride=4)
-        print(f"[{seq_name}] wrote {len(plys)} point clouds")
+        from l4p_tpu.utils.vis import generate_camera_trajectory_ply, generate_3d_track_ply
+
+        seq_dir = os.path.join(out_dir, seq_name)
+        plys = generate_4d_visualization(batch, out_np, seq_dir, stride=4)
+        generate_camera_trajectory_ply(out_np, os.path.join(seq_dir, "cameras.ply"))
+        n_ply = len(plys) + 1
+        if "track_2d_traj_est_bn2t" in out_np:
+            n_ply += len(generate_3d_track_ply(batch, out_np, seq_dir))
+        print(f"[{seq_name}] wrote {n_ply} point clouds (view: python -c "
+              f"\"from l4p_tpu.utils.vis import serve_point_clouds; "
+              f"serve_point_clouds('{seq_dir}').serve_forever()\")")
     return out_np
 
 

@@ -288,6 +288,24 @@ class L4PDataset:
             s["track_2d_pointquerries_bn3"][:, 2] -= i0
         return s
 
+    def generate_point_querries(self, traj_n2t: np.ndarray, vis_n1t: np.ndarray) -> np.ndarray:
+        """Sample one query per GT track at a random visible frame
+        (reference generate_point_qurries, l4p_dataset_mini.py:397-416) —
+        used by training datasets with GT tracks."""
+        n, _, t = vis_n1t.shape
+        vis_cumsum = np.cumsum(vis_n1t.astype(np.int32), axis=-1)
+        traj_pts = np.concatenate(
+            [np.tile(np.arange(t, dtype=np.float32)[None, None, :], (n, 1, 1)) + 0.5, traj_n2t], axis=1
+        )
+        out = []
+        for i in range(n):
+            r = self.rng.random()
+            target = np.round(r * (vis_cumsum[i, 0, -1] - 1) + 1)
+            idx = np.nonzero(vis_cumsum[i, 0, :] == target)[0][0]
+            assert vis_n1t[i, 0, idx], "query sampling picked an invisible frame"
+            out.append(traj_pts[i, :, idx])
+        return np.stack(out).astype(np.float32)
+
     def sample_tracks(self, s: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Query sampling: uniform grid (optionally restricted to eroded
         instance seg), pinned to frame 0, pixel centers

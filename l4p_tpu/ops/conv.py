@@ -34,7 +34,7 @@ def conv3d(
     p = _triple(padding)
     out = lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=s,
         padding=[(pi, pi) for pi in p],
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
@@ -58,7 +58,7 @@ def conv_transpose3d(
     s = _triple(stride)
     p = _triple(padding)
     k = w.shape[2:]
-    w_f = jnp.flip(w, axis=(2, 3, 4)).swapaxes(0, 1)  # (Cout, Cin, kD, kH, kW)
+    w_f = jnp.flip(w, axis=(2, 3, 4)).swapaxes(0, 1).astype(x.dtype)  # (Cout, Cin, kD, kH, kW)
     pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i]) for i in range(3)]
     out = lax.conv_general_dilated(
         x,

@@ -204,6 +204,143 @@ def write_ply(path: str, xyz_n3: np.ndarray, rgb_n3: Optional[np.ndarray] = None
         f.write(arr.tobytes())
 
 
+def camera_frustum_points(
+    pose_44: np.ndarray, k_44: np.ndarray, hw: Tuple[int, int] = (224, 224),
+    scale: float = 0.2, points_per_edge: int = 12,
+) -> np.ndarray:
+    """Camera frustum as a polyline point set in world space (reference
+    create_camera_frustum, vis.py:529-620, sampled as points for PLY)."""
+    h, w = hw
+    k = k_44[:3, :3]
+    corners_px = np.array([[0, 0, 1], [w, 0, 1], [w, h, 1], [0, h, 1]], np.float32)
+    rays = (np.linalg.inv(k) @ corners_px.T).T * scale  # (4,3) at depth `scale`
+    ctr = np.zeros((1, 3), np.float32)
+    pts = [ctr]
+    t = np.linspace(0, 1, points_per_edge)[:, None]
+    for i in range(4):
+        pts.append(ctr + t * rays[i][None])  # center -> corner
+        pts.append(rays[i][None] * (1 - t) + rays[(i + 1) % 4][None] * t)  # rim
+    cam_pts = np.concatenate(pts, 0)
+    world = cam_pts @ pose_44[:3, :3].T + pose_44[:3, 3]
+    return world
+
+
+def generate_camera_trajectory_ply(
+    out: Dict[str, np.ndarray], path: str, hw: Tuple[int, int] = (224, 224)
+) -> str:
+    """All frames' frusta in one PLY, colored by time (reference
+    generate_video_camera_trajectory, vis.py:623-680)."""
+    import matplotlib
+
+    pose = np.asarray(out["traj3d_est_b16t"], np.float32)
+    t_total = pose.shape[-1]
+    pose = pose.reshape(4, 4, t_total)
+    k = np.asarray(out["traj3d_intrinsics_est_b16t"], np.float32).reshape(4, 4, t_total)
+    cmap = matplotlib.colormaps["viridis"]
+    pts, cols = [], []
+    for t in range(t_total):
+        p = camera_frustum_points(pose[:, :, t], k[:, :, t], hw)
+        pts.append(p)
+        c = (np.array(cmap(t / max(t_total - 1, 1))[:3]) * 255).astype(np.uint8)
+        cols.append(np.tile(c, (p.shape[0], 1)))
+    write_ply(path, np.concatenate(pts), np.concatenate(cols))
+    return path
+
+
+def generate_3d_track_ply(
+    batch: Dict[str, np.ndarray], out: Dict[str, np.ndarray], out_dir: str,
+    vis_threshold: float = 0.0, rescale_to_dense_depth: bool = True,
+) -> List[str]:
+    """3D track trails: 2D tracks + track depth unprojected to world
+    (reference generate_3d_track_point_clouds, vis.py:683-766), with track
+    depth rescaled to the dense depth via median ratio at visible samples
+    (vis.py:149-169)."""
+    import jax.numpy as jnp
+
+    from l4p_tpu.geometry.core import generate_3d_track_point_map
+
+    traj = np.asarray(out["track_2d_traj_est_bn2t"], np.float32)
+    tdep = np.asarray(out["track_2d_depth_est_bn1t"], np.float32)
+    vis = np.asarray(out["track_2d_vis_est_bn1t"], np.float32)
+    t_total = traj.shape[-1]
+    pose = np.asarray(out["traj3d_est_b16t"], np.float32).reshape(1, 4, 4, t_total)
+    k = np.asarray(
+        out.get("traj3d_intrinsics_est_b16t", batch["intrinsics_b44t"].reshape(1, 16, t_total)),
+        np.float32,
+    ).reshape(1, 4, 4, t_total)
+
+    if rescale_to_dense_depth and "depth_est_b1thw" in out:
+        dense = np.asarray(out["depth_est_b1thw"], np.float32)
+        xs = np.clip(traj[0, :, 0].round().astype(int), 0, dense.shape[-1] - 1)
+        ys = np.clip(traj[0, :, 1].round().astype(int), 0, dense.shape[-2] - 1)
+        t_idx = np.broadcast_to(np.arange(t_total), xs.shape)
+        dense_at = dense[0, 0, t_idx, ys, xs]
+        m = vis[0, :, 0] > vis_threshold
+        if m.sum() > 0:
+            ratio = np.median(dense_at[m] / np.maximum(tdep[0, :, 0][m], 1e-6))
+            tdep = tdep * ratio
+
+    xyz = np.asarray(
+        generate_3d_track_point_map(jnp.asarray(traj), jnp.asarray(tdep), jnp.asarray(k), jnp.asarray(pose))
+    )  # (1, N, 3, T)
+    colors = _track_colors(traj.shape[1])
+    paths = []
+    os.makedirs(out_dir, exist_ok=True)
+    for t in range(t_total):
+        keep = vis[0, :, 0, t] > vis_threshold
+        p = os.path.join(out_dir, f"tracks_{t:04d}.ply")
+        write_ply(p, xyz[0, keep, :, t], colors[keep])
+        paths.append(p)
+    return paths
+
+
+def serve_point_clouds(ply_dir: str, port: int = 8001):
+    """Minimal web point-cloud browser (replaces the reference's viser
+    server, viser.py:14-89): serves the .ply files plus a Three.js viewer
+    page with a frame slider."""
+    import http.server
+    import functools as ft
+
+    html = """<!doctype html><html><body style="margin:0">
+<div style="position:fixed;z-index:1;color:#fff;font-family:monospace;padding:8px">
+ frame <input id=s type=range min=0 max=0 value=0 style="width:300px"> <span id=l></span></div>
+<script type="module">
+import * as THREE from 'https://unpkg.com/three@0.160.0/build/three.module.js';
+import {PLYLoader} from 'https://unpkg.com/three@0.160.0/examples/jsm/loaders/PLYLoader.js';
+import {OrbitControls} from 'https://unpkg.com/three@0.160.0/examples/jsm/controls/OrbitControls.js';
+const files = await (await fetch('files.json')).json();
+const scene = new THREE.Scene();
+const cam = new THREE.PerspectiveCamera(60, innerWidth/innerHeight, 0.01, 100);
+cam.position.z = 2;
+const r = new THREE.WebGLRenderer(); r.setSize(innerWidth, innerHeight);
+document.body.appendChild(r.domElement);
+new OrbitControls(cam, r.domElement);
+const loader = new PLYLoader(); let pc = null;
+const slider = document.getElementById('s'); slider.max = files.length - 1;
+async function show(i){
+  const g = await loader.loadAsync(files[i]);
+  if (pc) scene.remove(pc);
+  pc = new THREE.Points(g, new THREE.PointsMaterial({size:0.01, vertexColors:true}));
+  scene.add(pc); document.getElementById('l').textContent = files[i];
+}
+slider.oninput = () => show(+slider.value);
+show(0);
+(function anim(){ requestAnimationFrame(anim); r.render(scene, cam); })();
+</script></body></html>"""
+
+    import json as _json
+
+    plys = sorted(f for f in os.listdir(ply_dir) if f.endswith(".ply"))
+    with open(os.path.join(ply_dir, "index.html"), "w") as f:
+        f.write(html)
+    with open(os.path.join(ply_dir, "files.json"), "w") as f:
+        _json.dump(plys, f)
+    handler = ft.partial(http.server.SimpleHTTPRequestHandler, directory=ply_dir)
+    httpd = http.server.ThreadingHTTPServer(("", port), handler)
+    print(f"point-cloud viewer: http://localhost:{port}/ ({len(plys)} frames)")
+    return httpd  # caller runs httpd.serve_forever()
+
+
 def generate_4d_visualization(
     batch: Dict[str, np.ndarray],
     out: Dict[str, np.ndarray],
