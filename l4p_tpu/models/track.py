@@ -25,9 +25,22 @@ from l4p_tpu.models.sam import (
     mask_decoder_apply,
     prompt_encoder_apply,
 )
+import numpy as np
+
 from l4p_tpu.ops.conv import linear
 from l4p_tpu.ops.misc import apply_fn
-from l4p_tpu.ops.resize import interpolate_trilinear
+from l4p_tpu.ops.resize import _interp_matrix, interpolate_trilinear
+
+
+def _interp_full(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) align_corners=False interpolation matrix."""
+    return _interp_matrix(n_in, n_out, align_corners=False)
+
+
+def _interp_colmean(n_in: int, n_out: int) -> np.ndarray:
+    """Column means of the interpolation matrix: mean over the upsampled axis
+    == this weighted mean over the low-res axis (exact)."""
+    return _interp_matrix(n_in, n_out, align_corners=False).mean(axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,20 +207,36 @@ def track_forward_item(
     sparse = sparse.astype(img.dtype)
     logits, processed = mask_decoder_apply(params["mask_decoder"], sam, img, pe, sparse)
 
-    # (N, M, 2t, 4h, 4w) -> (N, M, T, H, W); align_corners=False
-    # (sparse_heads.py:645-647)
-    logits = interpolate_trilinear(logits, cfg.image_size, align_corners=False)
-
     tid = cfg.token_ids
     out: Dict[str, jnp.ndarray] = {}
-    xy = softargmax_xy(logits[:, tid["xy"]], cfg.image_size[1:])  # (N, T, 2)
-    out["traj_nt2"] = xy
-    if cfg.estimate_vis:
-        vis = logits[:, tid["vis"]].mean(axis=(-1, -2))
-        out["vis_nt"] = apply_fn(vis, cfg.vis_fn)
-    if cfg.estimate_depth:
-        dep = logits[:, tid["depth"]].mean(axis=(-1, -2))
-        out["depth_nt"] = apply_fn(dep, cfg.depth_fn)
+    # xy needs the full-resolution heatmap: upsample only the xy channel
+    # (N, 2t, 4h, 4w) -> (N, T, H, W), align_corners=False
+    # (sparse_heads.py:645-647)
+    xy_logits = interpolate_trilinear(logits[:, tid["xy"]], cfg.image_size, align_corners=False)
+    out["traj_nt2"] = softargmax_xy(xy_logits, cfg.image_size[1:])  # (N, T, 2)
+
+    # vis/depth only need the spatial MEAN of the upsampled logits — a mean
+    # over a linear resize is exactly a weighted mean of the low-res map
+    # (column sums of the interp matrices), so those channels never
+    # materialize at full resolution (reference upsamples all channels then
+    # averages, sparse_heads.py:157-160, :584-589)
+    if cfg.estimate_vis or cfg.estimate_depth:
+        low = logits  # (N, M, t2, h2, w2)
+        t2, h2, w2 = low.shape[-3:]
+        T, H, W = cfg.image_size
+        wt = jnp.asarray(_interp_colmean(t2, T), low.dtype)
+        wh = jnp.asarray(_interp_colmean(h2, H), low.dtype)
+        ww = jnp.asarray(_interp_colmean(w2, W), low.dtype)
+        # temporal axis keeps per-frame values (full interp matrix); H/W mean
+        mt = jnp.asarray(_interp_full(t2, T), low.dtype)  # (T, t2)
+        spatial_mean = jnp.einsum(
+            "nmthw,h,w->nmt", low, wh, ww, precision=jax.lax.Precision.HIGHEST
+        )
+        per_frame = jnp.einsum("nmt,Tt->nmT", spatial_mean, mt, precision=jax.lax.Precision.HIGHEST)
+        if cfg.estimate_vis:
+            out["vis_nt"] = apply_fn(per_frame[:, tid["vis"]], cfg.vis_fn)
+        if cfg.estimate_depth:
+            out["depth_nt"] = apply_fn(per_frame[:, tid["depth"]], cfg.depth_fn)
 
     if cfg.prompt_using_features:
         pf = processed["io_features"][:, tid["prompt_feat"], :]
