@@ -53,6 +53,10 @@ class EncoderConfig:
     # optional Plucker camera embedding (reference l4p/models/blocks.py:13-53)
     cam_emb_placed_at: Optional[str] = None  # None | 'input' | 'output'
     cam_emb_type: str = "add"  # 'add' | 'concat'
+    # rematerialize block activations in the backward pass (the TPU-native
+    # equivalent of the reference's with_cp torch.utils.checkpoint flag,
+    # modeling_pretrain.py:137-141)
+    remat_blocks: bool = False
 
     @property
     def tokens_thw(self):
@@ -272,9 +276,13 @@ def encoder_apply(
     if 0 in hooks:
         feats[0] = x
 
+    block_fn = jax.checkpoint(functools.partial(_block, cfg=cfg)) if cfg.remat_blocks else (
+        lambda x_, p_: _block(x_, p_, cfg)
+    )
+
     def scan_segment(x, blocks_slice):
         def body(carry, p):
-            return _block(carry, p, cfg), None
+            return block_fn(carry, p), None
 
         out, _ = lax.scan(body, x, blocks_slice)
         return out

@@ -128,11 +128,16 @@ def encode_windows(
     rgb_b3thw: jnp.ndarray,
     intrinsics_b44t: Optional[jnp.ndarray] = None,
     extrinsics_b44t: Optional[jnp.ndarray] = None,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Slice the video into overlapping windows and encode them all.
 
     Returns {'hooks': [(nw, B, P, C) per hook], 'final': (nw, B, P, C)}.
     Replaces the reference per-window loop (l4p_videomae.py:278-293).
+
+    With `mesh`, the window axis is sharded over the mesh's 'data' axis —
+    the embarrassingly parallel multi-chip inference path (windows have no
+    cross-dependence until stitching).
     """
     b, _, t, h, w = rgb_b3thw.shape
     ws, stride = cfg.window_size[0], cfg.window_stride_t
@@ -165,7 +170,14 @@ def encode_windows(
         )
         return {"hooks": out["hooks"], "final": out["final"]}
 
-    res = jax.lax.map(enc_one, inputs, batch_size=min(cfg.enc_window_chunk, nw))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = NamedSharding(mesh, P("data"))
+        inputs = tuple(jax.lax.with_sharding_constraint(x, spec) for x in inputs)
+        res = jax.vmap(lambda *xs: enc_one(xs))(*inputs)
+    else:
+        res = jax.lax.map(enc_one, inputs, batch_size=min(cfg.enc_window_chunk, nw))
     return {"hooks": {h: f for h, f in zip(hooks, res["hooks"])}, "final": res["final"]}
 
 
@@ -355,6 +367,7 @@ def l4p_forward(
     data: Dict[str, jnp.ndarray],
     tasks: Sequence[str],
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """All-task sliding-window inference (reference L4P_VideoMAE.forward,
     l4p_videomae.py:256-330).
@@ -374,7 +387,7 @@ def l4p_forward(
     heads = cfg.head_dict
     intr = data.get("intrinsics_b44t")
 
-    enc = encode_windows(params["video_encoder"], cfg, rgb, intr, data.get("extrinsics_b44t"))
+    enc = encode_windows(params["video_encoder"], cfg, rgb, intr, data.get("extrinsics_b44t"), mesh=mesh)
 
     out: Dict[str, jnp.ndarray] = {}
 
@@ -385,6 +398,12 @@ def l4p_forward(
         def one(fw):
             return dense_head_raw(params["task_heads"][task], hcfg, fw, img_info)
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = NamedSharding(mesh, P("data"))
+            feats_s = [jax.lax.with_sharding_constraint(f, spec) for f in feats]
+            return jax.vmap(lambda *fs: one(list(fs)))(*feats_s)
         return jax.lax.map(one, feats, batch_size=min(cfg.dense_window_chunk, nw))
 
     joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
@@ -453,6 +472,42 @@ def l4p_forward(
         hname = heads["camray"].task_name
         out[f"{hname}_est_b16t"] = stitched["camray"]
         out[f"{hname}_intrinsics_est_b16t"] = stitched["camray_intrinsics"]
+    return out
+
+
+def track_bidirectional(
+    params: Dict,
+    cfg: L4PConfig,
+    data: Dict[str, jnp.ndarray],
+    key: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Bidirectional tracking (estimation_directions=[1,-1]).
+
+    The reference's windowed tracker is forward-only and its own comment
+    prescribes exactly this scheme: "Run twice, with and without video
+    flipping, and then combine outputs" (sparse_heads.py:242-245). Forward
+    results cover t >= query time; the time-flipped pass covers t < query
+    time; outputs are merged on that boundary.
+    """
+    t_total = data["rgb_b3thw"].shape[2]
+    fwd = l4p_forward(params, cfg, data, ("track_2d",), key)
+
+    flipped = dict(data)
+    flipped["rgb_b3thw"] = jnp.flip(data["rgb_b3thw"], axis=2)
+    if "intrinsics_b44t" in data:
+        flipped["intrinsics_b44t"] = jnp.flip(data["intrinsics_b44t"], axis=3)
+    q = data["track_2d_pointquerries_bn3"]
+    q_flip = q.at[:, :, 0].set(t_total - q[:, :, 0])
+    flipped["track_2d_pointquerries_bn3"] = q_flip
+    bwd = l4p_forward(params, cfg, flipped, ("track_2d",), key)
+
+    t_ids = jnp.arange(t_total, dtype=q.dtype) + 0.5
+    after = (t_ids[None, None, None, :] - q[:, :, 0:1, None]) >= 0  # (B,N,1,T)
+
+    out = {}
+    for k in fwd:
+        b = jnp.flip(bwd[k], axis=-1)
+        out[k] = jnp.where(after, fwd[k], b)
     return out
 
 
