@@ -70,6 +70,7 @@ def _head_from_yaml(name: str, node: Mapping[str, Any]) -> Any:
             depth_fn=args.get("depth_fn", "linear"),
             vis_fn=args.get("vis_fn", "linear"),
             max_queries=args.get("max_queries", 192),
+            estimation_directions=tuple(args.get("estimation_directions", [1, -1])),
             sam=sam,
         )
     if cls not in _DENSE_KINDS:

@@ -229,8 +229,14 @@ def camray_windows_to_cameras(
     if hcfg.use_intrinsics:
         ks = jax.vmap(window_K)(jnp.arange(nw))
         ext, _ = jax.vmap(rays_to_cameras)(rays, ks)
-        k_est = jax.vmap(window_K)(jnp.arange(nw))  # echo input K
-        k_out = jnp.broadcast_to(k_est.reshape(nw, b, 16, tw), (nw, b, 16, tw))
+        # the reference emits no estimated K in this mode; the joint path
+        # falls back to the RAW input intrinsics (dense_heads.py:424-426)
+        k_raw = jax.vmap(
+            lambda w: jax.lax.dynamic_slice_in_dim(
+                intrinsics_b44t.astype(jnp.float32), w * window_stride, tw, axis=3
+            )
+        )(jnp.arange(nw))
+        k_out = k_raw.reshape(nw, b, 16, tw)
     elif hcfg.fixed_intrinsics:
         ext0, _, k_est0 = rays_to_cameras_and_fixed_intrinsics(
             rays[0], key, output_size=(h_img, w_img)
@@ -411,6 +417,11 @@ def l4p_forward(
     for task in tasks:
         if task == "track_2d":
             tcfg = cfg.track
+            if tuple(tcfg.estimation_directions) != (1,):
+                out.update(
+                    track_bidirectional(params, cfg, data, key, tuple(tcfg.estimation_directions))
+                )
+                continue
             queries = data["track_2d_pointquerries_bn3"]
             labels = data["track_2d_pointlabels_bn"]
             n = queries.shape[1]
@@ -480,8 +491,10 @@ def track_bidirectional(
     cfg: L4PConfig,
     data: Dict[str, jnp.ndarray],
     key: Optional[jax.Array] = None,
+    directions: Tuple[int, ...] = (1, -1),
 ) -> Dict[str, jnp.ndarray]:
-    """Bidirectional tracking (estimation_directions=[1,-1]).
+    """Backward / bidirectional tracking (estimation_directions=[-1] or
+    [1,-1]).
 
     The reference's windowed tracker is forward-only and its own comment
     prescribes exactly this scheme: "Run twice, with and without video
@@ -489,21 +502,26 @@ def track_bidirectional(
     results cover t >= query time; the time-flipped pass covers t < query
     time; outputs are merged on that boundary.
     """
+    import dataclasses as _dc
+
+    fwd_cfg = _dc.replace(cfg, track=_dc.replace(cfg.track, estimation_directions=(1,)))
     t_total = data["rgb_b3thw"].shape[2]
-    fwd = l4p_forward(params, cfg, data, ("track_2d",), key)
+    q = data["track_2d_pointquerries_bn3"]
 
     flipped = dict(data)
     flipped["rgb_b3thw"] = jnp.flip(data["rgb_b3thw"], axis=2)
     if "intrinsics_b44t" in data:
         flipped["intrinsics_b44t"] = jnp.flip(data["intrinsics_b44t"], axis=3)
-    q = data["track_2d_pointquerries_bn3"]
-    q_flip = q.at[:, :, 0].set(t_total - q[:, :, 0])
-    flipped["track_2d_pointquerries_bn3"] = q_flip
-    bwd = l4p_forward(params, cfg, flipped, ("track_2d",), key)
+    flipped["track_2d_pointquerries_bn3"] = q.at[:, :, 0].set(t_total - q[:, :, 0])
 
+    if directions == (-1,):
+        bwd = l4p_forward(params, fwd_cfg, flipped, ("track_2d",), key)
+        return {k: jnp.flip(v, axis=-1) for k, v in bwd.items()}
+
+    fwd = l4p_forward(params, fwd_cfg, data, ("track_2d",), key)
+    bwd = l4p_forward(params, fwd_cfg, flipped, ("track_2d",), key)
     t_ids = jnp.arange(t_total, dtype=q.dtype) + 0.5
     after = (t_ids[None, None, None, :] - q[:, :, 0:1, None]) >= 0  # (B,N,1,T)
-
     out = {}
     for k in fwd:
         b = jnp.flip(bwd[k], axis=-1)

@@ -57,6 +57,10 @@ class TrackConfig:
     vis_fn: str = "linear"
     max_queries: int = 128
     num_prompt_points: int = 2
+    # (1,) forward-only (released config); (-1,) backward via video flip;
+    # (1, -1) bidirectional merge (sparse_heads.py:242-245 prescribes the
+    # flip scheme)
+    estimation_directions: Tuple[int, ...] = (1,)
     sam: SamConfig = dataclasses.field(default_factory=SamConfig)
 
     @property

@@ -66,6 +66,14 @@ class Trainer:
         )
         os.makedirs(trainer_cfg.out_dir, exist_ok=True)
         self._log_f = open(os.path.join(trainer_cfg.out_dir, "scalars.jsonl"), "a")
+        # save the resolved run config (LightningCLI's save_config with
+        # overwrite=True, reference main.py:11)
+        with open(os.path.join(trainer_cfg.out_dir, "config.json"), "w") as f:
+            json.dump(
+                {"tasks": list(self.tasks), "trainer": dataclasses.asdict(trainer_cfg),
+                 "model": repr(model_cfg)},
+                f, indent=2,
+            )
 
         @jax.jit
         def _step(params, opt_state, batch):

@@ -103,6 +103,20 @@ def test_camray_windowed_fixed_intrinsics_parity():
     np.testing.assert_allclose(ours_pose, ref_pose, rtol=0.05, atol=0.05)
     assert ours_k.shape == (1, 16, T_TOTAL)
 
+    # use_intrinsics mode: rotations from the data K; intrinsics echo the RAW
+    # input K (the reference emits none standalone and the joint path falls
+    # back to the input clone, dense_heads.py:424-426)
+    hcfg_ui = DenseHeadConfig(
+        task_name="traj3d", kind="camray", out_nchan=6,
+        dpt=DPTConfig(num_channels=6, output_size=(WS, H_RAYS, H_RAYS)),
+        use_intrinsics=True, fixed_intrinsics=False,
+    )
+    pose_ui, intr_ui = camray_windows_to_cameras(
+        jnp.asarray(rays_w), hcfg_ui, IMG, jnp.asarray(k_px), STRIDE, jax.random.PRNGKey(0)
+    )
+    k_echo = np.asarray(stitch_overwrite(intr_ui, STRIDE, T_TOTAL)).reshape(1, 4, 4, T_TOTAL)
+    np.testing.assert_allclose(k_echo, k_px, rtol=1e-5, atol=1e-5)
+
     # ground-truth sanity: recovered pose ~= true frame-0-relative pose
     # (rays were built with make_first_cam_ref=True, so pose[t] = E0 @ inv(Et))
     e = ext[0].transpose(2, 0, 1)  # (T,4,4) cam_T_world
