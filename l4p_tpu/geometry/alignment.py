@@ -145,7 +145,10 @@ def sim3_ransac(
     aligner.py:139-146: min_samples=10, max_trials=100, residual threshold
     scaled by the 98th depth percentile). Returns (T_44, s, inliers)."""
     n = src_n3.shape[0]
-    idx = jax.random.randint(key, (num_trials, min_samples), 0, n)
+    # distinct points per minimal sample (skimage samples without
+    # replacement; duplicates waste hypothesis budget on rank-deficient fits)
+    trial_keys = jax.random.split(key, num_trials)
+    idx = jax.vmap(lambda k: jax.random.choice(k, n, (min_samples,), replace=False))(trial_keys)
     tfs, _ = jax.vmap(lambda i: umeyama_sim3(src_n3[i], dst_n3[i]))(idx)
     res = jax.vmap(_sim3_residuals, in_axes=(0, None, None))(tfs, src_n3, dst_n3)  # (T,N)
     inl = res < residual_threshold

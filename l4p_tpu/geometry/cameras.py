@@ -102,8 +102,10 @@ def homography_dlt(src: jnp.ndarray, dst: jnp.ndarray, w: Optional[jnp.ndarray] 
     row1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
     row2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
     a = jnp.concatenate([row1, row2], axis=0) * jnp.sqrt(jnp.concatenate([w, w]))[:, None]
-    # nullspace via smallest right singular vector
-    _, _, vh = jnp.linalg.svd(a.astype(jnp.float32), full_matrices=False)
+    # nullspace via smallest right singular vector; full_matrices=True is
+    # required for minimal 4-point systems (A is 8x9 — the reduced SVD's vh
+    # is 8x9 and would omit the nullspace row entirely)
+    _, _, vh = jnp.linalg.svd(a.astype(jnp.float32), full_matrices=True)
     h_n = vh[-1].reshape(3, 3)
     h = jnp.linalg.inv(t_d) @ h_n @ t_s
     return h / h[2, 2]
@@ -126,6 +128,7 @@ def find_homography_ransac(
     reproj_threshold: float = 0.2,
     num_trials: int = 128,
     refine_iters: int = 2,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Batched fixed-trial RANSAC homography (replaces cv2.findHomography,
     geometry_utils.py:436-441).
@@ -133,12 +136,18 @@ def find_homography_ransac(
     All `num_trials` 4-point hypotheses are solved as one batched SVD, scored
     against all points in parallel, and the best refined by `refine_iters`
     rounds of inlier-weighted DLT. Statistically equivalent to the OpenCV
-    path, fully on-device.
+    path, fully on-device. `valid` excludes points from inlier counts and
+    refit weights (static-shape stand-in for the reference's boolean drop);
+    minimal samples draw distinct indices (cv2 samples without replacement).
     """
     n = src.shape[0]
-    idx = jax.random.randint(key, (num_trials, 4), 0, n)
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    trial_keys = jax.random.split(key, num_trials)
+    idx = jax.vmap(lambda k: jax.random.choice(k, n, (4,), replace=False))(trial_keys)
     hs = jax.vmap(lambda i: homography_dlt(src[i], dst[i]))(idx)  # (T,3,3)
     errs = jax.vmap(_homography_transfer_err2, in_axes=(0, None, None))(hs, src, dst)  # (T,N)
+    errs = jnp.where(valid[None, :], errs, jnp.inf)
     thr2 = reproj_threshold ** 2
     inliers = errs < thr2
     counts = inliers.sum(-1)
@@ -147,7 +156,7 @@ def find_homography_ransac(
 
     for _ in range(refine_iters):
         h = homography_dlt(src, dst, w)
-        e = _homography_transfer_err2(h, src, dst)
+        e = jnp.where(valid, _homography_transfer_err2(h, src, dst), jnp.inf)
         w = (e < thr2).astype(src.dtype)
     return homography_dlt(src, dst, w)
 
@@ -171,15 +180,24 @@ def compute_optimal_rotation_intrinsics(
     zsafe = lambda z: jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     src = rays_origin[:, :2] / zsafe(rays_origin[:, 2:3])
     dst = rays_target[:, :2] / zsafe(rays_target[:, 2:3])
-    # park masked-out points far away so they never become inliers
-    src = jnp.where(z_ok[:, None], src, 1e6)
-    dst = jnp.where(z_ok[:, None], dst, -1e6)
+    # neutralize masked points (zeros) AND exclude them from inlier counting
+    # and refit weights — the reference drops them by boolean indexing
+    src = jnp.where(z_ok[:, None], src, 0.0)
+    dst = jnp.where(z_ok[:, None], dst, 0.0)
 
-    a = find_homography_ransac(src, dst, key, reproj_threshold)
+    a = find_homography_ransac(src, dst, key, reproj_threshold, valid=z_ok)
     a = jnp.where(jnp.linalg.det(a) < 0, -a, a)
     h = jnp.linalg.inv(a.astype(jnp.float32))  # H = K @ R
     k, r = rq_decomposition_3x3(h)
-    k = k / k[2, 2]
+    k = k / jnp.where(jnp.abs(k[2, 2]) < 1e-12, 1.0, k[2, 2])
+    # degenerate input guard: too few usable rays (or a blown-up solve)
+    # falls back to identity instead of propagating inf/NaN
+    ok = jnp.logical_and(z_ok.sum() >= 4,
+                         jnp.logical_and(jnp.all(jnp.isfinite(k)), jnp.all(jnp.isfinite(r))))
+    eye = jnp.eye(3, dtype=jnp.float32)
+    r = jnp.where(ok, r, eye)
+    k = jnp.where(ok, k, eye)
+    h = jnp.where(ok, h, eye)
     return r, k, h
 
 

@@ -141,7 +141,13 @@ def encode_windows(
     """
     b, _, t, h, w = rgb_b3thw.shape
     ws, stride = cfg.window_size[0], cfg.window_stride_t
-    assert t % stride == 0, "T must be a multiple of the window stride"
+    # windows must tile the video exactly — otherwise tail frames would be
+    # silently filled by clamped gathers in the stitcher (stronger than the
+    # reference's T % stride check, l4p_videomae.py:267-269, which zero-fills
+    # the tail)
+    assert t >= ws and (t - ws) % stride == 0, (
+        f"T={t} not tiled by window {ws} / stride {stride}"
+    )
     nw = (t - ws) // stride + 1
     starts = jnp.arange(nw) * stride
 
@@ -241,9 +247,20 @@ def camray_windows_to_cameras(
         ext0, _, k_est0 = rays_to_cameras_and_fixed_intrinsics(
             rays[0], key, output_size=(h_img, w_img)
         )  # K in image-pixel space (B,4,4,tw)
-        ks = jax.vmap(window_K)(jnp.arange(nw))
-        ext_all, _ = jax.vmap(rays_to_cameras)(rays, ks)
-        ext = ext_all.at[0].set(ext0)
+        if nw > 1:
+            if intrinsics_b44t is not None:
+                # windows >0 compute rotations from the INPUT intrinsics —
+                # the reference does exactly this (dense_heads.py:329-334)
+                ks = jax.vmap(window_K)(jnp.arange(nw))
+            else:
+                # no input K (the reference would crash here; we fall back
+                # to the window-0 estimate, normalized to ray space)
+                k0n = normalize_intrinsics(k_est0, h_img, w_img)
+                ks = jnp.broadcast_to(k0n[None], (nw,) + k0n.shape)
+            ext_all, _ = jax.vmap(rays_to_cameras)(rays, ks)
+            ext = ext_all.at[0].set(ext0)
+        else:
+            ext = ext0[None]
         k_out = jnp.broadcast_to(k_est0.reshape(1, b, 16, tw), (nw, b, 16, tw))
     else:
         keys = jax.random.split(key, nw)
@@ -414,28 +431,54 @@ def l4p_forward(
 
     joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
 
+    def run_track_forward(enc_final, queries, labels) -> Dict[str, jnp.ndarray]:
+        """Forward-direction chunked tracking from precomputed features."""
+        tcfg = cfg.track
+        n = queries.shape[1]
+        chunk = tcfg.max_queries
+        track_out: Dict[str, List[jnp.ndarray]] = {}
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            o = track_forward_windowed(
+                params["task_heads"]["track_2d"], tcfg, enc_final,
+                queries[:, lo:hi], labels[:, lo:hi], stride,
+            )
+            for k, v in o.items():
+                track_out.setdefault(k, []).append(v)
+        return {k: jnp.concatenate(v, axis=1) for k, v in track_out.items()}
+
     for task in tasks:
         if task == "track_2d":
             tcfg = cfg.track
-            if tuple(tcfg.estimation_directions) != (1,):
-                out.update(
-                    track_bidirectional(params, cfg, data, key, tuple(tcfg.estimation_directions))
-                )
-                continue
+            dirs = tuple(tcfg.estimation_directions)
             queries = data["track_2d_pointquerries_bn3"]
             labels = data["track_2d_pointlabels_bn"]
-            n = queries.shape[1]
-            chunk = tcfg.max_queries
-            track_out: Dict[str, List[jnp.ndarray]] = {}
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
-                o = track_forward_windowed(
-                    params["task_heads"]["track_2d"], tcfg, enc["final"],
-                    queries[:, lo:hi], labels[:, lo:hi], stride,
+            fwd_out = run_track_forward(enc["final"], queries, labels) if 1 in dirs else None
+            if -1 in dirs:
+                # backward via the reference's prescribed video flip
+                # (sparse_heads.py:242-245); one extra encoder pass only
+                flipped = dict(data)
+                flipped["rgb_b3thw"] = jnp.flip(rgb, axis=2)
+                if intr is not None:
+                    flipped["intrinsics_b44t"] = jnp.flip(intr, axis=3)
+                if "extrinsics_b44t" in data:
+                    flipped["extrinsics_b44t"] = jnp.flip(data["extrinsics_b44t"], axis=3)
+                flipped["track_2d_pointquerries_bn3"] = queries.at[:, :, 0].set(
+                    t_total - queries[:, :, 0]
                 )
-                for k, v in o.items():
-                    track_out.setdefault(k, []).append(v)
-            out.update({k: jnp.concatenate(v, axis=1) for k, v in track_out.items()})
+                import dataclasses as _dc
+
+                fwd_cfg = _dc.replace(cfg, track=_dc.replace(tcfg, estimation_directions=(1,)))
+                bwd_raw = l4p_forward(params, fwd_cfg, flipped, ("track_2d",), key, mesh=mesh)
+                bwd_out = {k: jnp.flip(v, axis=-1) for k, v in bwd_raw.items()}
+                if fwd_out is None:
+                    out.update(bwd_out)
+                else:
+                    t_ids = jnp.arange(t_total, dtype=queries.dtype) + 0.5
+                    after = (t_ids[None, None, None, :] - queries[:, :, 0:1, None]) >= 0
+                    out.update({k: jnp.where(after, fwd_out[k], bwd_out[k]) for k in fwd_out})
+            else:
+                out.update(fwd_out)
         elif task == "flow_2d_backward":
             w_outs = run_dense(task)
             out[f"{heads[task].task_name}_est_b2thw"] = stitch_overwrite(
@@ -463,7 +506,10 @@ def l4p_forward(
             )
             hname = heads[task].task_name
             out[f"{hname}_est_b16t"] = stitch_overwrite(pose_w, stride, t_total)
-            out[f"{hname}_intrinsics_est_b16t"] = stitch_overwrite(intr_w, stride, t_total)
+            if not heads[task].use_intrinsics:
+                # with input intrinsics the reference emits no K estimate
+                # (dense_heads.py:309-315 sets intrinsics_est to None)
+                out[f"{hname}_intrinsics_est_b16t"] = stitch_overwrite(intr_w, stride, t_total)
         elif task in ("depth", "camray") and joint:
             pass  # handled jointly below
         else:
@@ -492,6 +538,7 @@ def track_bidirectional(
     data: Dict[str, jnp.ndarray],
     key: Optional[jax.Array] = None,
     directions: Tuple[int, ...] = (1, -1),
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Backward / bidirectional tracking (estimation_directions=[-1] or
     [1,-1]).
@@ -500,33 +547,14 @@ def track_bidirectional(
     prescribes exactly this scheme: "Run twice, with and without video
     flipping, and then combine outputs" (sparse_heads.py:242-245). Forward
     results cover t >= query time; the time-flipped pass covers t < query
-    time; outputs are merged on that boundary.
+    time; outputs are merged on that boundary. Implemented inside
+    l4p_forward's track branch (shares the forward encoder pass with the
+    other tasks); this is the standalone convenience wrapper.
     """
     import dataclasses as _dc
 
-    fwd_cfg = _dc.replace(cfg, track=_dc.replace(cfg.track, estimation_directions=(1,)))
-    t_total = data["rgb_b3thw"].shape[2]
-    q = data["track_2d_pointquerries_bn3"]
-
-    flipped = dict(data)
-    flipped["rgb_b3thw"] = jnp.flip(data["rgb_b3thw"], axis=2)
-    if "intrinsics_b44t" in data:
-        flipped["intrinsics_b44t"] = jnp.flip(data["intrinsics_b44t"], axis=3)
-    flipped["track_2d_pointquerries_bn3"] = q.at[:, :, 0].set(t_total - q[:, :, 0])
-
-    if directions == (-1,):
-        bwd = l4p_forward(params, fwd_cfg, flipped, ("track_2d",), key)
-        return {k: jnp.flip(v, axis=-1) for k, v in bwd.items()}
-
-    fwd = l4p_forward(params, fwd_cfg, data, ("track_2d",), key)
-    bwd = l4p_forward(params, fwd_cfg, flipped, ("track_2d",), key)
-    t_ids = jnp.arange(t_total, dtype=q.dtype) + 0.5
-    after = (t_ids[None, None, None, :] - q[:, :, 0:1, None]) >= 0  # (B,N,1,T)
-    out = {}
-    for k in fwd:
-        b = jnp.flip(bwd[k], axis=-1)
-        out[k] = jnp.where(after, fwd[k], b)
-    return out
+    bi_cfg = _dc.replace(cfg, track=_dc.replace(cfg.track, estimation_directions=tuple(directions)))
+    return l4p_forward(params, bi_cfg, data, ("track_2d",), key, mesh=mesh)
 
 
 def l4p_forward_single_window(
@@ -566,7 +594,8 @@ def l4p_forward_single_window(
                 raw[None].astype(jnp.float32), hcfg, img_info, intr, cfg.window_stride_t, key
             )
             out[f"{hcfg.task_name}_est_b16t"] = pose_w[0]
-            out[f"{hcfg.task_name}_intrinsics_est_b16t"] = intr_w[0]
+            if not hcfg.use_intrinsics:
+                out[f"{hcfg.task_name}_intrinsics_est_b16t"] = intr_w[0]
         else:
             out[f"{hcfg.task_name}_est_{hcfg.task_suffix}"] = raw
     return out

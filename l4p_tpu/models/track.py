@@ -317,7 +317,9 @@ def track_forward_windowed(
             params["processed_video_mask_token"].astype(mdtype)[None, None, None, :], (b, n, p, c)
         )
     else:
-        hist0 = jnp.zeros((b, n, p, c), mdtype)
+        # scalar placeholder — carrying a real (B,N,P,C) zeros buffer would
+        # waste HBM/copy bandwidth every scan step for a value never read
+        hist0 = jnp.zeros((1,), mdtype)
 
     carry0 = {
         "queries": queries_bn3,
@@ -365,15 +367,8 @@ def track_forward_windowed(
             new = jnp.where(valid_bn1t, vals.astype(buf.dtype), old)
             return jax.lax.dynamic_update_slice_in_dim(buf, new, start_i, axis=-1)
 
-        traj_w = out[f"{tname}_traj_est_bn2t"]
         vis_buf = masked_write(carry["vis"], out[f"{tname}_vis_est_bn1t"])
-        traj_buf = jax.lax.dynamic_update_slice_in_dim(
-            carry["traj"],
-            jnp.where(valid_bn1t, traj_w.astype(dtype),
-                      jax.lax.dynamic_slice_in_dim(carry["traj"], start_i, ws, axis=-1)),
-            start_i,
-            axis=-1,
-        )
+        traj_buf = masked_write(carry["traj"], out[f"{tname}_traj_est_bn2t"])
         depth_buf = carry["depth"]
         if cfg.estimate_depth:
             depth_buf = masked_write(carry["depth"], out[f"{tname}_depth_est_bn1t"])
