@@ -76,7 +76,10 @@ def _head_from_yaml(name: str, node: Mapping[str, Any]) -> Any:
     if cls not in _DENSE_KINDS:
         raise ValueError(f"unknown head class {cls}")
     kind = _DENSE_KINDS[cls]
-    hooks = tuple(args.get("hooks_idx") or (16, 24, 32, 40))
+    # reference derives default hooks from the encoder depth arg:
+    # [2d/5, 3d/5, 4d/5, d] (dense_heads.py:42-43)
+    d = args.get("depth", 40)
+    hooks = tuple(args.get("hooks_idx") or (d * 2 // 5, d * 3 // 5, d * 4 // 5, d))
     out_nchan = 6 if kind in ("camray", "camera_rays") else args.get("out_nchan", 2 if kind == "flow" else 1)
     dpt_kw: Dict[str, Any] = dict(num_channels=out_nchan, hooks=hooks)
     # reference init_arg `embed_dim` sets the encoder token width fed to the
@@ -96,7 +99,7 @@ def _head_from_yaml(name: str, node: Mapping[str, Any]) -> Any:
         kind=kind,
         out_nchan=out_nchan,
         dpt=DPTConfig(**dpt_kw),
-        depth_fn=args.get("depth_fn", "exp"),
+        depth_fn=args.get("depth_fn", "linear"),  # reference default (dense_heads.py:155)
         mask_fn=args.get("apply_fn", "linear"),
         align_pre_inverse=args.get("align_window_overlap_fn") == "inverse",
         align_type=args.get("align_type", "affine"),

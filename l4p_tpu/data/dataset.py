@@ -226,6 +226,12 @@ class L4PDataset:
             elif key == "track_2d_traj_bn2t":
                 v[:, 0, :] *= rf[1]
                 v[:, 1, :] *= rf[0]
+            elif key == "track_2d_pointquerries_bn3":
+                # keep query (x, y) in sync with the resized video (the
+                # reference raises NotImplementedError here; queries are
+                # normally sampled post-resize, but GT queries may pre-exist)
+                v[:, 1] *= rf[1]
+                v[:, 2] *= rf[0]
             elif key == "intrinsics_b44t":
                 v[0, 0, :] *= rf[1]
                 v[1, 1, :] *= rf[0]
@@ -322,8 +328,10 @@ class L4PDataset:
             pts = np.stack([np.zeros_like(gx), gx, gy], -1).reshape(-1, 3)
             if self.track_2d_querry_sampling_version == "uniform_over_seg":
                 seg = _erode3x3(s["instanceseg_b1thw"][0, 0])
-                xi = (pts[:, 1] * 224).astype(np.int64)
-                yi = (pts[:, 2] * 224).astype(np.int64)
+                # index by the seg's actual size (the reference hardcodes 224,
+                # l4p_dataset_mini.py:458-459, which only works at 224x224)
+                xi = (pts[:, 1] * seg.shape[1]).astype(np.int64)
+                yi = (pts[:, 2] * seg.shape[0]).astype(np.int64)
                 keep = seg[np.clip(yi, 0, seg.shape[0] - 1), np.clip(xi, 0, seg.shape[1] - 1)] > 0
                 if keep.sum() > 0:
                     pts = pts[keep]

@@ -96,8 +96,7 @@ def dpt_apply(
             x = conv_transpose3d(x, ap["rescale"]["weight"], ap["rescale"]["bias"], stride=stride)
         elif kind == "down":
             stride = tuple(2 ** (-s) for s in cfg.actpost_scale_factors[i])
-            ksz = tuple((s // 2) * 2 + 1 for s in stride)
-            pad = tuple(s // 2 for s in stride)
+            pad = tuple(s // 2 for s in stride)  # kernel size comes from the weight
             x = conv3d(x, ap["rescale"]["weight"], ap["rescale"]["bias"], stride=stride, padding=pad)
         layers.append(x)
 
@@ -126,7 +125,7 @@ def dpt_apply(
 
 def init_dpt_params(cfg: DPTConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
     """Random init with torch-Conv3d-like fan-in scaling (kaiming-uniform)."""
-    keys = iter(jax.random.split(key, 64))
+    keys = iter(jax.random.split(key, 128))
 
     def conv_p(cin, cout, k: Tuple[int, int, int], bias=True, transposed=False):
         fan_in = cin * int(np.prod(k))

@@ -432,20 +432,39 @@ def l4p_forward(
     joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
 
     def run_track_forward(enc_final, queries, labels) -> Dict[str, jnp.ndarray]:
-        """Forward-direction chunked tracking from precomputed features."""
+        """Forward-direction chunked tracking from precomputed features.
+
+        Queries are processed `max_queries` at a time (the reference's memory
+        governor, sparse_heads.py:181-211) — but as ONE traced chunk body via
+        lax.map over padded chunk groups, not an unrolled Python loop: grid
+        sampling can produce thousands of queries (e.g. 2500 on DAVIS) and an
+        unrolled graph would take hours to compile."""
         tcfg = cfg.track
         n = queries.shape[1]
-        chunk = tcfg.max_queries
-        track_out: Dict[str, List[jnp.ndarray]] = {}
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            o = track_forward_windowed(
-                params["task_heads"]["track_2d"], tcfg, enc_final,
-                queries[:, lo:hi], labels[:, lo:hi], stride,
+        chunk = min(tcfg.max_queries, n)
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        if pad:
+            # padded queries get label 0 (the reference's own
+            # invalid-query semantics); their outputs are sliced off
+            queries = jnp.concatenate([queries, jnp.zeros((queries.shape[0], pad, 3), queries.dtype)], 1)
+            labels = jnp.concatenate([labels, jnp.zeros((labels.shape[0], pad), labels.dtype)], 1)
+        b_dim = queries.shape[0]
+        q_c = queries.reshape(b_dim, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+        l_c = labels.reshape(b_dim, n_chunks, chunk).transpose(1, 0, 2)
+
+        def one(args):
+            q, l = args
+            return track_forward_windowed(
+                params["task_heads"]["track_2d"], tcfg, enc_final, q, l, stride
             )
-            for k, v in o.items():
-                track_out.setdefault(k, []).append(v)
-        return {k: jnp.concatenate(v, axis=1) for k, v in track_out.items()}
+
+        o = jax.lax.map(one, (q_c, l_c))  # dict of (n_chunks, B, chunk, ...)
+        out_t = {}
+        for k, v in o.items():
+            merged = jnp.moveaxis(v, 0, 1).reshape((b_dim, n_chunks * chunk) + v.shape[3:])
+            out_t[k] = merged[:, :n]
+        return out_t
 
     for task in tasks:
         if task == "track_2d":

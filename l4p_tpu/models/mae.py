@@ -50,12 +50,14 @@ class MAEConfig:
 def mae_registry(name: str) -> MAEConfig:
     """Reference @register_model factories (modeling_pretrain.py:367-484)."""
     pix = lambda p, t: 3 * t * p * p
+    # decoder_depth is the signature default 8 in every reference factory
+    # (modeling_pretrain.py:260; the factories override only embed_dim/heads)
     sizes = {
-        "small": dict(patch=16, e=384, d=12, h=6, de=192, dd=4, dh=3),
-        "base": dict(patch=16, e=768, d=12, h=12, de=384, dd=4, dh=6),
-        "large": dict(patch=16, e=1024, d=24, h=16, de=512, dd=12, dh=8),
-        "huge": dict(patch=16, e=1280, d=32, h=16, de=512, dd=12, dh=8),
-        "giant": dict(patch=14, e=1408, d=40, h=16, de=512, dd=12, dh=8, mlp=48 / 11),
+        "small": dict(patch=16, e=384, d=12, h=6, de=192, dh=3),
+        "base": dict(patch=16, e=768, d=12, h=12, de=384, dh=6),
+        "large": dict(patch=16, e=1024, d=24, h=16, de=512, dh=8),
+        "huge": dict(patch=16, e=1280, d=32, h=16, de=512, dh=8),
+        "giant": dict(patch=14, e=1408, d=40, h=16, de=512, dh=8, mlp=48 / 11),
     }
     s = sizes[name]
     enc = EncoderConfig(
@@ -65,14 +67,14 @@ def mae_registry(name: str) -> MAEConfig:
     return MAEConfig(
         encoder=enc,
         decoder_embed_dim=s["de"],
-        decoder_depth=s["dd"],
+        decoder_depth=8,
         decoder_num_heads=s["dh"],
         decoder_num_classes=pix(s["patch"], enc.tubelet_size),
     )
 
 
 def init_mae_params(cfg: MAEConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     enc = init_encoder_params(cfg.encoder, k1, dtype)
     dec_cfg = cfg.decoder_cfg
     dec = init_encoder_params(dec_cfg, k2, dtype)
@@ -87,7 +89,7 @@ def init_mae_params(cfg: MAEConfig, key: jax.Array, dtype=jnp.float32) -> Dict:
         "mask_token": 0.02 * jax.random.truncated_normal(k4, -2, 2, (1, 1, de), dtype),
         "decoder_pos_embed": jnp.asarray(sinusoid_pos_embed(cfg.encoder.num_tokens, de), dtype),
         "decoder_head": {
-            "weight": jax.random.uniform(k4, (cfg.decoder_num_classes, de), dtype, -head_a, head_a),
+            "weight": jax.random.uniform(k5, (cfg.decoder_num_classes, de), dtype, -head_a, head_a),
             "bias": jnp.zeros((cfg.decoder_num_classes,), dtype),
         },
     }

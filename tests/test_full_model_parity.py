@@ -1,0 +1,174 @@
+"""Full-model single-window parity at REAL sizes (ViT-giant encoder +
+released head dims), exercising convert_l4p's complete checkpoint key
+layout (l4p_model.video_encoder.*, l4p_model.task_heads.{task}.task_head.*,
+l4p_model.task_heads.track_2d.*).
+
+Slow (giant torch forward on CPU); run with `-m slow`.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.oracle import reference_path
+from l4p_tpu.config import convert_l4p, load_model_config
+from l4p_tpu.models.l4p import l4p_forward_single_window
+
+reference_path()
+
+from l4p.models.l4p_videomae import L4P_VideoMAE  # noqa: E402
+from l4p.models.task_heads.dense_heads import (  # noqa: E402
+    VideoMAEDepthDPTHead,
+    VideoMAEDynMaskDPTHead,
+    VideoMAEFlowDPTHead,
+    VideoMAETraj3DDPTHead,
+)
+from l4p.models.task_heads.sparse_heads import VideoMAETrack2DSamHead  # noqa: E402
+
+
+def _build_reference_model(hooks):
+    heads = torch.nn.ModuleDict(
+        {
+            "flow_2d_backward": VideoMAEFlowDPTHead(
+                task_name="flow_2d_backward", out_nchan=2, hooks_idx=hooks),
+            "depth": VideoMAEDepthDPTHead(
+                task_name="depth", out_nchan=1, depth_fn="exp", hooks_idx=hooks,
+                align_window_overlap_fn="inverse"),
+            "dyn_mask": VideoMAEDynMaskDPTHead(
+                task_name="dyn_mask", out_nchan=1, apply_fn="linear", hooks_idx=hooks),
+            "camray": VideoMAETraj3DDPTHead(
+                task_name="traj3d", hooks_idx=hooks, use_intrinsics=False, fixed_intrinsics=True),
+            "track_2d": VideoMAETrack2DSamHead(
+                task_name="track_2d", estimate_vis=True, estimate_depth=True,
+                sam_head_depth=2, num_point_embeddings=2, prompt_using_features=True,
+                attend_to_past=True, modify_pointlabels_for_windowing=True,
+                estimation_directions=[1], depth_fn="exp", vis_fn="linear"),
+        }
+    )
+    # windowed path with a single window: the reference's single-window path
+    # cannot run fixed-intrinsics camray at all (win_id assert,
+    # dense_heads.py:304 — only forward_windowed supplies it)
+    ref = L4P_VideoMAE(
+        task_heads=heads, always_use_windowed_version=True, joint_alignment=False
+    )
+    ref.eval()
+    return ref
+
+
+def test_convert_l4p_full_key_layout():
+    """Fast: convert the COMPLETE Lightning key layout (l4p_model.*) and
+    check every leaf of our pytree matches the torch tensors it came from.
+    (The full-forward parity below needs more than this image's single CPU
+    core; it is kept for multi-core/TPU rounds.)"""
+    torch.manual_seed(11)
+    hooks = [14, 21, 28, 36]
+    ref = _build_reference_model(hooks)
+    sd = {f"l4p_model.{k_}": v for k_, v in ref.state_dict().items()}
+    cfg, _ = load_model_config("configs/model.yaml")
+    params = convert_l4p(sd, cfg)
+
+    # every task head present
+    assert set(params["task_heads"]) == {"flow_2d_backward", "depth", "dyn_mask", "camray", "track_2d"}
+    # encoder: stacked blocks carry the exact torch values
+    blk7_qkv = sd["l4p_model.video_encoder.blocks.7.attn.qkv.weight"].numpy()
+    np.testing.assert_array_equal(np.asarray(params["video_encoder"]["blocks"]["qkv_w"][7]), blk7_qkv)
+    # dense head deep leaf
+    w = sd["l4p_model.task_heads.depth.task_head.dpt.scratch.refinenet2.resConfUnit1.conv2.weight"].numpy()
+    np.testing.assert_array_equal(
+        np.asarray(params["task_heads"]["depth"]["refinenet"][1]["resConfUnit1"]["conv2"]["weight"]), w
+    )
+    # track head deep leaf
+    w2 = sd["l4p_model.task_heads.track_2d.mask_decoder.transformer.layers.1.cross_attn_image_to_token.v_proj.weight"].numpy()
+    np.testing.assert_array_equal(
+        np.asarray(
+            params["task_heads"]["track_2d"]["mask_decoder"]["transformer"]["layers"][1][
+                "cross_attn_image_to_token"
+            ]["v_proj"]["weight"]
+        ),
+        w2,
+    )
+    # total parameter count matches. torch's state_dict double-counts the
+    # DPT layer_rn convs (registered both as scratch.layerN_rn and as the
+    # scratch.layer_rn ModuleList aliasing the same tensors,
+    # dpt_block.py:44-88) — dedupe by storage pointer.
+    seen = set()
+    n_torch = 0
+    for v in sd.values():
+        p = v.data_ptr()
+        if p not in seen:
+            seen.add(p)
+            n_torch += v.numel()
+    n_ours = sum(int(np.prod(x.shape)) for x in __import__("jax").tree.leaves(params))
+    pos = params["video_encoder"]["pos_embed"]
+    n_ours -= int(np.prod(pos.shape))  # sinusoid table is not in the torch sd
+    # torch registers iou_token/no_mask_embed/pe buffers etc. that we
+    # intentionally drop; allow ours <= torch with small delta
+    assert n_ours <= n_torch and (n_torch - n_ours) / n_torch < 0.001, (n_ours, n_torch)
+
+
+@pytest.mark.slow
+def test_full_model_single_window_parity():
+    """Full-forward parity at real sizes — requires multiple CPU cores or a
+    TPU to finish in reasonable time (the single-core CI image cannot)."""
+    torch.manual_seed(11)
+    hooks = [14, 21, 28, 36]
+    ref = _build_reference_model(hooks)
+
+    rng = np.random.default_rng(11)
+    t = 16
+    rgb = rng.standard_normal((1, 3, t, 224, 224)).astype(np.float32) * 0.5
+    k = np.tile(np.diag([224.0, 224.0, 1, 1]).astype(np.float32)[None, :, :, None], (1, 1, 1, t))
+    k[:, 0, 2] = k[:, 1, 2] = 112.0
+    n_q = 4
+    q = np.stack(
+        [rng.uniform(0, t, n_q), rng.uniform(8, 216, n_q), rng.uniform(8, 216, n_q)], -1
+    ).astype(np.float32)[None]
+    labels = np.ones((1, n_q), np.float32)
+
+    batch_t = {
+        "rgb_b3thw": torch.from_numpy(rgb),
+        "intrinsics_b44t": torch.from_numpy(k),
+        "track_2d_pointquerries_bn3": torch.from_numpy(q),
+        "track_2d_pointlabels_bn": torch.from_numpy(labels),
+    }
+    tasks = ["flow_2d_backward", "track_2d", "depth", "dyn_mask", "camray"]
+    with torch.no_grad():
+        ref_out = ref.forward(batch_t, tasks)
+
+    # convert with the full Lightning key layout
+    sd = {f"l4p_model.{k_}": v for k_, v in ref.state_dict().items()}
+    cfg, _ = load_model_config("configs/model.yaml")
+    params = convert_l4p(sd, cfg)
+
+    import dataclasses
+
+    data = {
+        "rgb_b3thw": jnp.asarray(rgb),
+        "intrinsics_b44t": jnp.asarray(k),
+        "track_2d_pointquerries_bn3": jnp.asarray(q),
+        "track_2d_pointlabels_bn": jnp.asarray(labels),
+    }
+    from l4p_tpu.models.l4p import l4p_forward
+
+    cfg_nj = dataclasses.replace(cfg, joint_alignment=False)
+    out = l4p_forward(params, cfg_nj, data, tuple(tasks))
+
+    checks = [
+        ("flow_2d_backward_est_b2thw", 2e-2, 2e-2),
+        ("depth_est_b1thw", 2e-2, 2e-2),
+        ("dyn_mask_est_b1thw", 2e-2, 2e-2),
+        ("track_2d_traj_est_bn2t", 5e-2, 5e-2),
+        ("track_2d_vis_est_bn1t", 5e-2, 5e-2),
+        ("track_2d_depth_est_bn1t", 5e-2, 5e-2),
+        # camray: cv2-RANSAC vs our RANSAC differ stochastically; poses from
+        # noiseless-ish rays still agree loosely
+        ("traj3d_est_b16t", 0.1, 0.1),
+    ]
+    for key_, rtol, atol in checks:
+        ours = np.asarray(out[key_], np.float32)
+        theirs = ref_out[key_].numpy().astype(np.float32)
+        assert ours.shape == theirs.shape, f"{key_}: {ours.shape} vs {theirs.shape}"
+        np.testing.assert_allclose(ours, theirs, rtol=rtol, atol=atol, err_msg=key_)
