@@ -28,7 +28,15 @@ def depth_metrics(pred_b1thw, gt_b1thw, valid=None, median_align: bool = True) -
     pred = pred_b1thw.astype(jnp.float32)
     gt = jnp.maximum(gt_b1thw.astype(jnp.float32), 1e-6)
     if median_align:
-        s = jnp.median(gt) / jnp.maximum(jnp.median(pred), 1e-6)
+        if valid is not None:
+            # medians over valid pixels only (sparse GT would otherwise pull
+            # the gt median to the invalid fill value)
+            v = jnp.broadcast_to(valid > 0, gt.shape)
+            med_gt = jnp.nanmedian(jnp.where(v, gt, jnp.nan))
+            med_pr = jnp.nanmedian(jnp.where(v, pred, jnp.nan))
+        else:
+            med_gt, med_pr = jnp.median(gt), jnp.median(pred)
+        s = med_gt / jnp.maximum(med_pr, 1e-6)
         pred = pred * s
     pred = jnp.maximum(pred, 1e-6)
     absrel = _masked_mean(jnp.abs(pred - gt) / gt, valid)
@@ -40,6 +48,10 @@ def depth_metrics(pred_b1thw, gt_b1thw, valid=None, median_align: bool = True) -
 
 def flow_metrics(pred_b2thw, gt_b2thw, valid=None) -> Dict[str, jnp.ndarray]:
     epe = jnp.sqrt(((pred_b2thw.astype(jnp.float32) - gt_b2thw.astype(jnp.float32)) ** 2).sum(1, keepdims=True))
+    if valid is not None and valid.ndim == epe.ndim and valid.shape[1] != 1:
+        # dataset masks are per-channel (B,2,T,H,W); a pixel counts when both
+        # components are valid
+        valid = jnp.min(valid, axis=1, keepdims=True)
     return {
         "flow/epe": _masked_mean(epe, valid),
         "flow/1px": _masked_mean((epe < 1.0).astype(jnp.float32), valid),
@@ -68,8 +80,9 @@ def track_metrics(
     """TAP-Vid-style: delta_avg (position accuracy at pixel thresholds over
     visible points), occlusion accuracy, and average Jaccard."""
     err = jnp.sqrt(((pred_traj_bn2t.astype(jnp.float32) - gt_traj_bn2t.astype(jnp.float32)) ** 2).sum(2, keepdims=True))
-    gt_vis = gt_vis_bn1t > 0.5
-    pred_vis = pred_vis_bn1t > 0.0  # visibility logit threshold
+    gt_vis = jnp.ones_like(err, bool) if gt_vis_bn1t is None else gt_vis_bn1t > 0.5
+    # no visibility estimate => treat everything as visible
+    pred_vis = jnp.ones_like(gt_vis) if pred_vis_bn1t is None else pred_vis_bn1t > 0.0
     valid = jnp.ones_like(gt_vis) if valid_bn1t is None else (valid_bn1t > 0)
     eval_pts = jnp.logical_and(gt_vis, valid)
 
@@ -122,7 +135,7 @@ def l4p_metrics(batch: Dict, out: Dict, metadata: Optional[Dict] = None) -> Tupl
                                   batch.get("dyn_mask_valid_b1thw")))
     if "track_2d_traj_est_bn2t" in out and "track_2d_traj_bn2t" in batch:
         m.update(track_metrics(out["track_2d_traj_est_bn2t"], out.get("track_2d_vis_est_bn1t"),
-                               batch["track_2d_traj_bn2t"], batch["track_2d_vis_bn1t"],
+                               batch["track_2d_traj_bn2t"], batch.get("track_2d_vis_bn1t"),
                                batch.get("track_2d_valid_bn1t")))
     if "traj3d_est_b16t" in out and "extrinsics_b44t" in batch:
         t = batch["extrinsics_b44t"].shape[-1]

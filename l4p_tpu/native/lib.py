@@ -23,15 +23,36 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
+def _host_tag() -> str:
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = [ln for ln in f if ln.startswith("flags")][0]
+        import hashlib
+
+        cpu = hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except Exception:
+        cpu = "unknown"
+    return f"{platform.machine()}-{cpu}"
+
+
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     try:
-        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # -march=native binaries are host-specific: a .so copied from another
+        # machine could die with SIGILL (uncatchable) — rebuild unless the
+        # recorded host tag matches
+        tag_file = _SO + ".host"
+        tag_ok = os.path.exists(tag_file) and open(tag_file).read() == _host_tag()
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC) or not tag_ok:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
                  "-o", _SO, _SRC, "-lpthread"],
                 check=True, capture_output=True,
             )
+            with open(_SO + ".host", "w") as f:
+                f.write(_host_tag())
         lib = ctypes.CDLL(_SO)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

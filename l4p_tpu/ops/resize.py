@@ -44,10 +44,13 @@ def _interp_axis(x: jnp.ndarray, n_out: int, axis: int, align_corners: bool) -> 
     n_in = x.shape[axis]
     if n_in == n_out:
         return x
-    m = jnp.asarray(_interp_matrix(n_in, n_out, align_corners), dtype=x.dtype)
-    # HIGHEST precision: interpolation weights must not be bf16-truncated, and
-    # these matmuls are negligible FLOPs next to the convs around them.
-    out = jnp.tensordot(x, m, axes=[[axis], [1]], precision=jax.lax.Precision.HIGHEST)
+    # weights stay fp32 (casting them to a bf16 input's dtype would truncate
+    # the interpolation coefficients); the matmul promotes, the result is
+    # cast back. These matmuls are negligible FLOPs next to the convs.
+    m = jnp.asarray(_interp_matrix(n_in, n_out, align_corners), dtype=jnp.float32)
+    out = jnp.tensordot(
+        x.astype(jnp.float32), m, axes=[[axis], [1]], precision=jax.lax.Precision.HIGHEST
+    ).astype(x.dtype)
     return jnp.moveaxis(out, -1, axis)
 
 

@@ -65,7 +65,7 @@ def l4p_loss(
             feats = [feat_by_hook[h] for h in hcfg.dpt.hooks]
             pred = dense_head_raw(params["task_heads"][task], hcfg, feats, img_info)
             gt = batch["flow_2d_backward_b2thw"]
-            valid = batch.get("flow_2d_backward_valid_b1thw")
+            valid = batch.get("flow_2d_backward_valid_b2thw")  # per-channel mask (dataset.py schema)
             losses["flow"] = _masked_mean(jnp.abs(pred - gt), valid)
         elif task == "dyn_mask":
             hcfg = heads[task]

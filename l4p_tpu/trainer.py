@@ -84,6 +84,12 @@ class Trainer:
 
         self._step = _step
 
+        from l4p_tpu.models.l4p import l4p_forward
+
+        # jitted once — a fresh lambda per validate() call would retrace the
+        # full forward graph every validation interval
+        self._fwd = jax.jit(lambda p, b: l4p_forward(p, self.model_cfg, b, self.tasks))
+
     def log(self, phase: str, step: int, scalars: Dict[str, float]):
         rec = {"step": step, **{f"scalars/{phase}/{k}": float(v) for k, v in scalars.items()}}
         self._log_f.write(json.dumps(rec) + "\n")
@@ -91,8 +97,17 @@ class Trainer:
 
     def save(self, params, opt_state, step: int):
         path = os.path.join(self.cfg.out_dir, f"ckpt_{step:07d}")
-        checkpoint_io.save(path, {"params": params, "step": step})
+        checkpoint_io.save(path, {"params": params, "opt_state": opt_state, "step": step})
         return path
+
+    def restore(self, path: str, params_like, opt_state_like=None):
+        """Resume from a Trainer checkpoint: returns (params, opt_state, step)."""
+        if opt_state_like is None:
+            opt_state_like = self.optimizer.init(params_like)
+        tree = checkpoint_io.load(
+            path, like={"params": params_like, "opt_state": opt_state_like, "step": 0}
+        )
+        return tree["params"], tree["opt_state"], int(tree["step"])
 
     def fit(
         self,
@@ -128,9 +143,7 @@ class Trainer:
         return params, opt_state, step
 
     def validate(self, params: Dict, val_iter: Iterable[Dict], step: int = 0, phase: str = "val"):
-        from l4p_tpu.models.l4p import l4p_forward
-
-        fwd = jax.jit(lambda p, b: l4p_forward(p, self.model_cfg, b, self.tasks))
+        fwd = self._fwd
         agg: Dict[str, list] = {}
         n = 0
         for batch in val_iter:
@@ -147,9 +160,7 @@ class Trainer:
         return scalars
 
     def predict(self, params: Dict, data_iter: Iterable[Dict]):
-        from l4p_tpu.models.l4p import l4p_forward
-
-        fwd = jax.jit(lambda p, b: l4p_forward(p, self.model_cfg, b, self.tasks))
+        fwd = self._fwd
         for batch in data_iter:
             jb = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
             yield {k: np.asarray(v) for k, v in fwd(params, jb).items()}

@@ -163,7 +163,10 @@ def generate_video_visualizations(
         panels.append(np.stack([np.repeat(mask[t][..., None], 3, -1) for t in range(t_total)]))
     if "track_2d" in tasks and "track_2d_traj_est_bn2t" in out:
         traj = np.asarray(out["track_2d_traj_est_bn2t"][0], np.float32)
-        vis = np.asarray(out.get("track_2d_vis_est_bn1t", np.zeros((1, traj.shape[0], 1, t_total)))[0])
+        # no visibility estimate -> draw everything (draw_tracks treats
+        # vis=None as always-visible)
+        vis_arr = out.get("track_2d_vis_est_bn1t")
+        vis = None if vis_arr is None else np.asarray(vis_arr[0])
         panels.append(draw_tracks(video, traj, vis))
 
     frames = np.concatenate(panels, axis=2)  # widthwise
@@ -264,10 +267,11 @@ def generate_3d_track_ply(
     vis = np.asarray(out["track_2d_vis_est_bn1t"], np.float32)
     t_total = traj.shape[-1]
     pose = np.asarray(out["traj3d_est_b16t"], np.float32).reshape(1, 4, 4, t_total)
-    k = np.asarray(
-        out.get("traj3d_intrinsics_est_b16t", batch["intrinsics_b44t"].reshape(1, 16, t_total)),
-        np.float32,
-    ).reshape(1, 4, 4, t_total)
+    if "traj3d_intrinsics_est_b16t" in out:
+        k_src = out["traj3d_intrinsics_est_b16t"]
+    else:
+        k_src = np.asarray(batch["intrinsics_b44t"])[:1].reshape(1, 16, t_total)
+    k = np.asarray(k_src, np.float32).reshape(1, 4, 4, t_total)
 
     if rescale_to_dense_depth and "depth_est_b1thw" in out:
         dense = np.asarray(out["depth_est_b1thw"], np.float32)
@@ -356,9 +360,11 @@ def generate_4d_visualization(
     depth = np.asarray(out["depth_est_b1thw"], np.float32)
     pose = np.asarray(out["traj3d_est_b16t"], np.float32)
     t_total = depth.shape[2]
-    k = np.asarray(
-        out.get("traj3d_intrinsics_est_b16t", batch["intrinsics_b44t"].reshape(1, 16, t_total))
-    , np.float32).reshape(1, 4, 4, t_total)
+    if "traj3d_intrinsics_est_b16t" in out:
+        k_src = out["traj3d_intrinsics_est_b16t"]
+    else:
+        k_src = np.asarray(batch["intrinsics_b44t"])[:1].reshape(1, 16, t_total)
+    k = np.asarray(k_src, np.float32).reshape(1, 4, 4, t_total)
     pose = pose.reshape(1, 4, 4, t_total)
 
     pm = np.asarray(generate_point_map(jnp.asarray(depth), jnp.asarray(k), jnp.asarray(pose)))
