@@ -26,8 +26,23 @@ import jax.numpy as jnp
 TASKS = ("flow_2d_backward", "track_2d", "depth", "dyn_mask", "camray")
 
 
+_FWD_CACHE = {}
+
+
+def _get_fwd(cfg, tasks):
+    """One jitted forward per task set — reused across sequences so repeated
+    shapes don't retrace/recompile."""
+    key = tuple(tasks)
+    if key not in _FWD_CACHE:
+        from l4p_tpu.models.l4p import l4p_forward
+
+        _FWD_CACHE[key] = jax.jit(
+            lambda p, d: l4p_forward(p, cfg, d, key, key=jax.random.PRNGKey(0))
+        )
+    return _FWD_CACHE[key]
+
+
 def run_sequence(params, cfg, tasks, batch, out_dir, seq_name, dtype=jnp.bfloat16):
-    from l4p_tpu.models.l4p import l4p_forward
     from l4p_tpu.utils.vis import generate_video_visualizations, generate_4d_visualization
 
     data = {}
@@ -35,7 +50,7 @@ def run_sequence(params, cfg, tasks, batch, out_dir, seq_name, dtype=jnp.bfloat1
         if isinstance(v, np.ndarray):
             data[k] = jnp.asarray(v, dtype if k == "rgb_b3thw" else None)
 
-    fwd = jax.jit(lambda p, d: l4p_forward(p, cfg, d, tuple(tasks), key=jax.random.PRNGKey(0)))
+    fwd = _get_fwd(cfg, tasks)
     t0 = time.time()
     out = fwd(params, data)
     out_np = {k: np.asarray(v, np.float32) for k, v in out.items()}
@@ -54,9 +69,11 @@ def run_sequence(params, cfg, tasks, batch, out_dir, seq_name, dtype=jnp.bfloat1
 
         seq_dir = os.path.join(out_dir, seq_name)
         plys = generate_4d_visualization(batch, out_np, seq_dir, stride=4)
-        generate_camera_trajectory_ply(out_np, os.path.join(seq_dir, "cameras.ply"))
-        n_ply = len(plys) + 1
-        if "track_2d_traj_est_bn2t" in out_np:
+        n_ply = len(plys)
+        if "traj3d_intrinsics_est_b16t" in out_np:  # absent in use_intrinsics configs
+            generate_camera_trajectory_ply(out_np, os.path.join(seq_dir, "cameras.ply"))
+            n_ply += 1
+        if "track_2d_traj_est_bn2t" in out_np and "track_2d_depth_est_bn1t" in out_np:
             n_ply += len(generate_3d_track_ply(batch, out_np, seq_dir))
         print(f"[{seq_name}] wrote {n_ply} point clouds (view: python -c "
               f"\"from l4p_tpu.utils.vis import serve_point_clouds; "
@@ -74,7 +91,7 @@ def main():
     ap.add_argument("--seq", nargs="*", default=None, help="filter sequence names")
     ap.add_argument("--out-dir", default="out")
     ap.add_argument("--max-queries", type=int, default=128)
-    ap.add_argument("--tasks", default=",".join(TASKS))
+    ap.add_argument("--tasks", default=None, help="defaults to the config's task list")
     ap.add_argument("--synthetic", action="store_true", help="random-video smoke run")
     args = ap.parse_args()
 
@@ -86,7 +103,8 @@ def main():
     from l4p_tpu.data.sources import DavisDataset, DycheckDataset, VideoDataset
 
     params, cfg, tasks = prepare_model(args.config, args.ckpt, max_queries=args.max_queries)
-    tasks = tuple(args.tasks.split(","))
+    if args.tasks:
+        tasks = tuple(args.tasks.split(","))
     if args.ckpt is None:
         print("WARNING: no checkpoint given — running with random weights")
 
@@ -119,6 +137,12 @@ def main():
 
     for ds in datasets:
         for i in range(len(ds)):
+            # filter on the name BEFORE decoding/preprocessing the sequence
+            name_src = getattr(ds, "scene_list", None) or getattr(ds, "video_paths", None) \
+                or getattr(ds, "seq_list", None)
+            if args.seq and name_src is not None:
+                if not any(s in os.path.basename(str(name_src[i])) for s in args.seq):
+                    continue
             sample = ds[i]
             seq = sample.get("seq_name", f"seq{i}")
             if args.seq and not any(s in seq for s in args.seq):

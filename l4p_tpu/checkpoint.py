@@ -44,8 +44,11 @@ def convert_encoder(sd: Mapping[str, np.ndarray], cfg: EncoderConfig, prefix: st
     e = cfg.embed_dim
     d = cfg.depth
 
-    def stack(key_fmt):
-        return jnp.asarray(np.stack([g(key_fmt.format(i)) for i in range(d)]), dtype)
+    def stack(key_fmt, reshape=None):
+        arrs = [g(key_fmt.format(i)) for i in range(d)]
+        if reshape is not None:
+            arrs = [a.reshape(reshape) for a in arrs]
+        return jnp.asarray(np.stack(arrs), dtype)
 
     params = {
         "patch_embed": {
@@ -56,7 +59,8 @@ def convert_encoder(sd: Mapping[str, np.ndarray], cfg: EncoderConfig, prefix: st
         "blocks": {
             "norm1_w": stack("blocks.{}.norm1.weight"),
             "norm1_b": stack("blocks.{}.norm1.bias"),
-            "qkv_w": stack("blocks.{}.attn.qkv.weight"),
+            # fused (3E, E) -> head-aligned (3, E, E) for TP sharding
+            "qkv_w": stack("blocks.{}.attn.qkv.weight", reshape=(3, e, e)),
             "q_bias": stack("blocks.{}.attn.q_bias"),
             "v_bias": stack("blocks.{}.attn.v_bias"),
             "proj_w": stack("blocks.{}.attn.proj.weight"),
@@ -96,14 +100,19 @@ def convert_mae(sd: Mapping[str, np.ndarray], cfg, prefix: str = "", dtype=jnp.f
     dec_cfg = cfg.decoder_cfg
     d = dec_cfg.depth
 
-    def stack(key_fmt):
-        return jnp.asarray(np.stack([g(key_fmt.format(i)) for i in range(d)]), dtype)
+    de_dim = cfg.decoder_embed_dim
+
+    def stack(key_fmt, reshape=None):
+        arrs = [g(key_fmt.format(i)) for i in range(d)]
+        if reshape is not None:
+            arrs = [a.reshape(reshape) for a in arrs]
+        return jnp.asarray(np.stack(arrs), dtype)
 
     decoder = {
         "blocks": {
             "norm1_w": stack("decoder.blocks.{}.norm1.weight"),
             "norm1_b": stack("decoder.blocks.{}.norm1.bias"),
-            "qkv_w": stack("decoder.blocks.{}.attn.qkv.weight"),
+            "qkv_w": stack("decoder.blocks.{}.attn.qkv.weight", reshape=(3, de_dim, de_dim)),
             "q_bias": stack("decoder.blocks.{}.attn.q_bias"),
             "v_bias": stack("decoder.blocks.{}.attn.v_bias"),
             "proj_w": stack("decoder.blocks.{}.attn.proj.weight"),

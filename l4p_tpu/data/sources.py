@@ -137,6 +137,8 @@ class VideoDataset(L4PDataset):
 
         path = self.video_paths[index]
         cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise FileNotFoundError(f"VideoDataset: cannot open video {path!r}")
         rgbs = []
         count = 0
         while True:
@@ -150,6 +152,8 @@ class VideoDataset(L4PDataset):
             if count == self.max_frames - 1:  # reference off-by-design (video_dataset.py:99)
                 break
         cap.release()
+        if not rgbs:
+            raise ValueError(f"VideoDataset: no decodable frames in {path!r} (unsupported codec?)")
         rgb = np.concatenate(rgbs, 1)[:, :: self.stride]
         _, t, h, w = rgb.shape
         return L4PData(

@@ -97,8 +97,9 @@ def scale_extrinsics(extrinsics_b44t: jnp.ndarray, scale_b1: jnp.ndarray) -> jnp
 
 
 def scale_rays_plucker(camray_b6thw: jnp.ndarray, scale_b1: jnp.ndarray) -> jnp.ndarray:
-    """Scale Plucker moments (geometry_utils.py:158-162)."""
-    return camray_b6thw.at[:, 3:].multiply(scale_b1)
+    """Scale Plucker moments (geometry_utils.py:158-162). scale: (B,)."""
+    s = scale_b1.reshape(-1, 1, 1, 1, 1)  # broadcast over (3,T,H,W), not W
+    return camray_b6thw.at[:, 3:].multiply(s)
 
 
 def get_rays_plucker(

@@ -117,7 +117,7 @@ def init_encoder_params(cfg: EncoderConfig, key: jax.Array, dtype=jnp.float32) -
         "blocks": {
             "norm1_w": jnp.ones((d, e), dtype),
             "norm1_b": jnp.zeros((d, e), dtype),
-            "qkv_w": xavier(ks[1], (d, 3 * e, e)),
+            "qkv_w": xavier(ks[1], (d, 3, e, e)),
             "q_bias": jnp.zeros((d, e), dtype),
             "v_bias": jnp.zeros((d, e), dtype),
             "proj_w": xavier(ks[2], (d, e, e)),
@@ -177,10 +177,13 @@ def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig) -> jnp.ndarray:
     nh, hd = cfg.num_heads, cfg.head_dim
 
     h = layer_norm(x, p["norm1_w"], p["norm1_b"], cfg.ln_eps)
-    qkv_bias = jnp.concatenate([p["q_bias"], jnp.zeros_like(p["v_bias"]), p["v_bias"]])
-    qkv = jnp.einsum("bne,fe->bnf", h, p["qkv_w"].astype(h.dtype), preferred_element_type=jnp.float32)
-    qkv = (qkv + qkv_bias.astype(jnp.float32)).astype(x.dtype)
-    qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, D)
+    # qkv_w is (3, E, E): the output feature dim stays head-aligned so tensor
+    # parallelism can shard it over heads (a fused (3E, E) layout would make
+    # the 'model' split cross the q/k boundary and force all-gathers)
+    qkv_bias = jnp.stack([p["q_bias"], jnp.zeros_like(p["v_bias"]), p["v_bias"]])  # (3, E)
+    qkv = jnp.einsum("bne,sfe->bsnf", h, p["qkv_w"].astype(h.dtype), preferred_element_type=jnp.float32)
+    qkv = (qkv + qkv_bias[None, :, None, :].astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(B, 3, N, nh, hd).transpose(1, 0, 3, 2, 4)  # (3, B, H, N, D)
     if cfg.cos_attn:
         qn = qkv[0] / jnp.linalg.norm(qkv[0].astype(jnp.float32), axis=-1, keepdims=True).astype(x.dtype)
         kn = qkv[1] / jnp.linalg.norm(qkv[1].astype(jnp.float32), axis=-1, keepdims=True).astype(x.dtype)

@@ -62,10 +62,14 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, n, d)
 
 
+DEFAULT_BLOCK_Q = 256
+
+
 def attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Pallas kernel on TPU; XLA fallback elsewhere (tests on CPU)."""
     from l4p_tpu.ops.attention import mha
 
-    if jax.default_backend() == "tpu" and q.shape[-2] == k.shape[-2] and q.shape[-2] % 256 == 0:
-        return flash_attention(q, k, v, scale)
+    n = q.shape[-2]
+    if jax.default_backend() == "tpu" and n == k.shape[-2] and n % DEFAULT_BLOCK_Q == 0:
+        return flash_attention(q, k, v, scale, block_q=DEFAULT_BLOCK_Q)
     return mha(q, k, v, scale)

@@ -45,7 +45,8 @@ def encoder_param_specs(params: Dict) -> Dict:
     """
     specs = jax.tree.map(lambda _: P(), params)
     b = specs["blocks"]
-    b["qkv_w"] = P(None, "model", None)
+    # qkv_w is (depth, 3, E, E): shard the head-aligned output-feature dim
+    b["qkv_w"] = P(None, None, "model", None)
     b["q_bias"] = P(None, "model")
     b["v_bias"] = P(None, "model")
     b["proj_w"] = P(None, None, "model")

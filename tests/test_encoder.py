@@ -79,7 +79,7 @@ def test_encoder_small_parity():
 
 def test_init_params_shapes():
     params = init_encoder_params(SMALL, jnp.array([0, 1], dtype=jnp.uint32).view if False else __import__("jax").random.PRNGKey(0))
-    assert params["blocks"]["qkv_w"].shape == (6, 3 * 64, 64)
+    assert params["blocks"]["qkv_w"].shape == (6, 3, 64, 64)  # head-aligned TP layout
     assert params["pos_embed"].shape == (1, SMALL.num_tokens, 64)
     out = encoder_apply(params, jnp.zeros((1, 3, 4, 28, 28)), SMALL, hooks=[2, 4])
     assert len(out["hooks"]) == 2 and out["final"].shape == (1, SMALL.num_tokens, 64)

@@ -72,9 +72,12 @@ def test_convert_l4p_full_key_layout():
 
     # every task head present
     assert set(params["task_heads"]) == {"flow_2d_backward", "depth", "dyn_mask", "camray", "track_2d"}
-    # encoder: stacked blocks carry the exact torch values
+    # encoder: stacked blocks carry the exact torch values ((3E,E) fused ->
+    # head-aligned (3,E,E))
     blk7_qkv = sd["l4p_model.video_encoder.blocks.7.attn.qkv.weight"].numpy()
-    np.testing.assert_array_equal(np.asarray(params["video_encoder"]["blocks"]["qkv_w"][7]), blk7_qkv)
+    np.testing.assert_array_equal(
+        np.asarray(params["video_encoder"]["blocks"]["qkv_w"][7]), blk7_qkv.reshape(3, 1408, 1408)
+    )
     # dense head deep leaf
     w = sd["l4p_model.task_heads.depth.task_head.dpt.scratch.refinenet2.resConfUnit1.conv2.weight"].numpy()
     np.testing.assert_array_equal(
