@@ -83,6 +83,69 @@ def generate_3d_track_point_map(
     return xyz_b4tn[:, :3].transpose(0, 3, 1, 2)
 
 
+def rotmat_to_quat(r_33: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> unit quaternion (w, x, y, z), numerically stable
+    via the largest-denominator branch (Shepperd's method, branchless)."""
+    r = r_33.astype(jnp.float32)
+    m00, m11, m22 = r[0, 0], r[1, 1], r[2, 2]
+    # 4*q_i^2 candidates for i in (w, x, y, z)
+    cand = jnp.stack([1 + m00 + m11 + m22, 1 + m00 - m11 - m22,
+                      1 - m00 + m11 - m22, 1 - m00 - m11 + m22])
+    i = jnp.argmax(cand)
+    s = 2.0 * jnp.sqrt(jnp.maximum(cand[i], 1e-12))
+
+    def q_w():
+        return jnp.stack([s / 4, (r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+
+    def q_x():
+        return jnp.stack([(r[2, 1] - r[1, 2]) / s, s / 4, (r[0, 1] + r[1, 0]) / s, (r[0, 2] + r[2, 0]) / s])
+
+    def q_y():
+        return jnp.stack([(r[0, 2] - r[2, 0]) / s, (r[0, 1] + r[1, 0]) / s, s / 4, (r[1, 2] + r[2, 1]) / s])
+
+    def q_z():
+        return jnp.stack([(r[1, 0] - r[0, 1]) / s, (r[0, 2] + r[2, 0]) / s, (r[1, 2] + r[2, 1]) / s, s / 4])
+
+    q = jax.lax.switch(i, [q_w, q_x, q_y, q_z])
+    q = q * jnp.sign(jnp.where(q[0] == 0, 1.0, q[0]))  # canonical w >= 0
+    return q / jnp.linalg.norm(q)
+
+
+def rotmat_to_rotvec(r_33: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> axis-angle vector (for the rel_pose_b6t schema's
+    xyz+rotvec encoding, l4p_dataset_mini.py:27)."""
+    q = rotmat_to_quat(r_33)
+    w, xyz = q[0], q[1:]
+    n = jnp.linalg.norm(xyz)
+    angle = 2.0 * jnp.arctan2(n, w)
+    axis = xyz / jnp.where(n < 1e-12, 1.0, n)
+    # tiny angle: rotvec ~= 2*xyz (first order)
+    return jnp.where(n < 1e-12, 2.0 * xyz, axis * angle)
+
+
+def rotvec_to_rotmat(v_3: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle vector -> rotation matrix (Rodrigues)."""
+    v = v_3.astype(jnp.float32)
+    angle = jnp.linalg.norm(v)
+    safe = jnp.where(angle < 1e-12, 1.0, angle)
+    k = v / safe
+    kx = jnp.array([[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]], jnp.float32)
+    r = jnp.eye(3) + jnp.sin(angle) * kx + (1 - jnp.cos(angle)) * (kx @ kx)
+    vx = jnp.array([[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]], jnp.float32)
+    return jnp.where(angle < 1e-12, jnp.eye(3) + vx, r)  # first-order for tiny angles
+
+
+def pose_to_rel_pose_b6t(world_T_cam_b44t: jnp.ndarray) -> jnp.ndarray:
+    """Poses -> first-frame-relative xyz+rotvec (the rel_pose_b6t schema)."""
+    b = world_T_cam_b44t.shape[0]
+    t = world_T_cam_b44t.shape[-1]
+    pose = world_T_cam_b44t.transpose(0, 3, 1, 2).astype(jnp.float32)  # (B,T,4,4)
+    rel = jnp.matmul(jnp.linalg.inv(pose[:, :1]), pose)  # frame-0 relative
+    rv = jax.vmap(jax.vmap(lambda m: rotmat_to_rotvec(m[:3, :3])))(rel)
+    xyz = rel[:, :, :3, 3]
+    return jnp.concatenate([xyz, rv], axis=-1).transpose(0, 2, 1)  # (B,6,T)
+
+
 def get_cam_T_ref(cam_T_world_b44t: jnp.ndarray, ref_idx: int = 0) -> jnp.ndarray:
     """Poses relative to the reference frame (geometry_utils.py:128-143)."""
     cam_T_world = cam_T_world_b44t.transpose(0, 3, 1, 2)

@@ -290,3 +290,26 @@ def test_sim3_overlap_solve_apply_roundtrip():
     np.testing.assert_allclose(
         np.asarray(out["camray"]).reshape(B, 4, 4, T), pose_tgt, rtol=2e-2, atol=2e-2
     )
+
+
+def test_rotvec_roundtrip_vs_scipy():
+    from scipy.spatial.transform import Rotation
+
+    from l4p_tpu.geometry.core import pose_to_rel_pose_b6t, rotmat_to_rotvec, rotvec_to_rotmat
+
+    for i, v in enumerate([[0.1, -0.2, 0.3], [0, 0, 0], [2.0, 1.5, -1.0], [3.14, 0.01, 0.0]]):
+        v = np.array(v, np.float32)
+        r_sp = Rotation.from_rotvec(v).as_matrix()
+        r_j = np.asarray(rotvec_to_rotmat(jnp.asarray(v)))
+        np.testing.assert_allclose(r_j, r_sp, rtol=1e-4, atol=1e-5, err_msg=f"case {i}")
+        v_back = np.asarray(rotmat_to_rotvec(jnp.asarray(r_sp.astype(np.float32))))
+        np.testing.assert_allclose(
+            Rotation.from_rotvec(v_back).as_matrix(), r_sp, rtol=1e-3, atol=1e-4, err_msg=f"case {i}"
+        )
+
+    # rel_pose_b6t: first frame must map to zeros
+    _, E = make_cameras(2, 5)
+    pose = np.linalg.inv(E.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1).astype(np.float32)
+    rel = np.asarray(pose_to_rel_pose_b6t(jnp.asarray(pose)))
+    assert rel.shape == (2, 6, 5)
+    np.testing.assert_allclose(rel[:, :, 0], 0, atol=1e-5)
