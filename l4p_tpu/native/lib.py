@@ -17,7 +17,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "preprocess.cpp")
-_SO = os.path.join(_HERE, "_preprocess.so")
+_SO = os.path.join(_HERE, "build", "libpreprocess.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
@@ -45,6 +45,7 @@ def _build() -> Optional[ctypes.CDLL]:
         # recorded host tag matches
         tag_file = _SO + ".host"
         tag_ok = os.path.exists(tag_file) and open(tag_file).read() == _host_tag()
+        os.makedirs(os.path.dirname(_SO), exist_ok=True)
         if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC) or not tag_ok:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
