@@ -313,3 +313,14 @@ def test_rotvec_roundtrip_vs_scipy():
     rel = np.asarray(pose_to_rel_pose_b6t(jnp.asarray(pose)))
     assert rel.shape == (2, 6, 5)
     np.testing.assert_allclose(rel[:, :, 0], 0, atol=1e-5)
+
+
+def test_linear_aligner_median_parity():
+    pred = RNG.uniform(0.5, 5, (2, 1, 4, 8, 8)).astype(np.float32)
+    target = pred * 0.8 + RNG.normal(0, 0.01, pred.shape).astype(np.float32)
+    ref = LinearAligner(pre_post_fn="inverse", method="median")
+    ref.solve(torch.from_numpy(pred), torch.from_numpy(target), None, None)
+    ref_applied = ref.apply(torch.from_numpy(pred)).numpy()
+    sol = galign.linear_scale_solve(jnp.asarray(pred), jnp.asarray(target), pre_inverse=True, method="median")
+    ours = np.asarray(galign.linear_scale_apply(sol, jnp.asarray(pred), pre_inverse=True))
+    np.testing.assert_allclose(ours, ref_applied, rtol=1e-3, atol=1e-3)
