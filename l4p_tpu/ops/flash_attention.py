@@ -65,11 +65,30 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 DEFAULT_BLOCK_Q = 256
 
 
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    """True when the default device is a TPU chip.
+
+    Probes the device itself, not the backend name: the axon TPU plugin
+    registers its backend as 'axon' in some code paths while the devices
+    report platform 'tpu' / device_kind 'TPU v5 ...' — gating on
+    jax.default_backend() alone can silently miss real hardware.
+    """
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    return (
+        getattr(dev, "platform", "") in ("tpu", "axon")
+        or "TPU" in getattr(dev, "device_kind", "")
+    )
+
+
 def attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Pallas kernel on TPU; XLA fallback elsewhere (tests on CPU)."""
     from l4p_tpu.ops.attention import mha
 
     n = q.shape[-2]
-    if jax.default_backend() == "tpu" and n == k.shape[-2] and n % DEFAULT_BLOCK_Q == 0:
+    if _on_tpu() and n == k.shape[-2] and n % DEFAULT_BLOCK_Q == 0:
         return flash_attention(q, k, v, scale, block_q=DEFAULT_BLOCK_Q)
     return mha(q, k, v, scale)
