@@ -120,7 +120,9 @@ class L4PDataset:
         remove_queries_outside_bounds: bool = True,
         rng: Optional[np.random.Generator] = None,
         sample_size: Optional[Tuple[int, int, int]] = None,
+        emit_uint8: bool = True,
     ) -> None:
+        self.emit_uint8 = emit_uint8
         if sample_size is not None:  # override the (16, 224, 224) default
             self.default_sample_size = tuple(sample_size)
         self.crop_size = crop_size
@@ -399,6 +401,14 @@ class L4PDataset:
         std = IMAGENET_STD[:, None, None, None]
         sample["rgb_mean_b3111"] = mean
         sample["rgb_std_b3111"] = std
+        if self.emit_uint8:
+            # production transfer path: ship raw uint8 (T, H, W, 3); the
+            # device normalizes inside the fused ingest matmul
+            # (models/ingest.py). rgb_b3thw stays for visualization; the
+            # inference driver keeps it on the host.
+            sample["rgb_u8_bthw3"] = np.clip(
+                np.round(sample["rgb_b3thw"].transpose(1, 2, 3, 0) * 255.0), 0, 255
+            ).astype(np.uint8)
         sample["rgb_b3thw"] = (sample["rgb_b3thw"] - mean) / std
         sample.update(strs)
         sample["ori_video_len"] = ori_len

@@ -27,8 +27,14 @@ def ingest_video_tokens(
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
     compute_dtype=jnp.bfloat16,
+    add_pos_embed: bool = True,
 ) -> jnp.ndarray:
     """(B, T, H, W, 3) uint8 -> (B, N_tokens, E) embedded tokens.
+
+    With add_pos_embed=False the caller adds the (per-window) positional
+    table itself — used by encode_windows, which tokenizes the WHOLE video
+    once and slices token windows afterwards (the positional table spans one
+    window, not the video).
 
     Fuses normalization into the patch-embedding matmul by folding the
     per-channel affine (x/255 - mean)/std into the patch weights and bias:
@@ -62,4 +68,6 @@ def ingest_video_tokens(
 
     tok = jnp.einsum("bnk,ek->bne", x, w_fold.astype(compute_dtype), preferred_element_type=jnp.float32)
     tok = (tok + b_fold).astype(compute_dtype)
-    return tok + enc_params["pos_embed"].astype(compute_dtype)
+    if add_pos_embed:
+        tok = tok + enc_params["pos_embed"].astype(compute_dtype)
+    return tok

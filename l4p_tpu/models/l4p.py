@@ -103,6 +103,16 @@ class L4PConfig:
     dense_window_chunk: int = 2
     sim3_num_trials: int = 128  # RANSAC hypotheses for joint alignment
     sim3_min_samples: int = 10
+    # training-time freeze controls (reference l4p_videomae.py:199-218):
+    # freeze the whole encoder, optionally re-enabling `unfreeze_blocks`
+    # (plus the final norm) and/or freezing whole task heads. Enforced by
+    # l4p_tpu.train.trainable_mask / make_optimizer, not by the forward.
+    freeze_video_encoder: bool = False
+    unfreeze_blocks: Optional[Tuple[int, ...]] = None
+    freeze_heads: Tuple[str, ...] = ()
+    # optional encoder-only init checkpoint, loaded strict=False-style
+    # (reference l4p_videomae.py:187-191)
+    video_encoder_ckpt_path: Optional[str] = None
 
     @property
     def head_dict(self) -> Dict[str, DenseHeadConfig]:
@@ -125,21 +135,32 @@ class L4PConfig:
 def encode_windows(
     enc_params: Dict,
     cfg: L4PConfig,
-    rgb_b3thw: jnp.ndarray,
+    rgb_b3thw: Optional[jnp.ndarray],
     intrinsics_b44t: Optional[jnp.ndarray] = None,
     extrinsics_b44t: Optional[jnp.ndarray] = None,
     mesh=None,
+    rgb_u8_bthw3: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Slice the video into overlapping windows and encode them all.
 
     Returns {'hooks': [(nw, B, P, C) per hook], 'final': (nw, B, P, C)}.
     Replaces the reference per-window loop (l4p_videomae.py:278-293).
 
+    With `rgb_u8_bthw3`, the host ships raw uint8 (4x less transfer than
+    normalized fp32, replacing the reference's host-side normalize at
+    l4p_dataset_mini.py:576-580): the whole video is tokenized ONCE by the
+    fused normalize+patchify matmul (models/ingest.py) and windows are
+    sliced in token space — which also removes the 2x patchify recompute of
+    the 8-frame window overlaps.
+
     With `mesh`, the window axis is sharded over the mesh's 'data' axis —
     the embarrassingly parallel multi-chip inference path (windows have no
     cross-dependence until stitching).
     """
-    b, _, t, h, w = rgb_b3thw.shape
+    if rgb_u8_bthw3 is not None:
+        b, t, h, w = rgb_u8_bthw3.shape[:4]
+    else:
+        b, _, t, h, w = rgb_b3thw.shape
     ws, stride = cfg.window_size[0], cfg.window_stride_t
     # windows must tile the video exactly — otherwise tail frames would be
     # silently filled by clamped gathers in the stitcher (stronger than the
@@ -151,12 +172,31 @@ def encode_windows(
     nw = (t - ws) // stride + 1
     starts = jnp.arange(nw) * stride
 
-    windows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice_in_dim(rgb_b3thw, s, ws, axis=2)
-    )(starts)  # (nw, B, 3, ws, H, W)
-
     hooks = cfg.all_hooks
     use_cam = cfg.encoder.cam_emb_placed_at is not None
+
+    if rgb_u8_bthw3 is not None:
+        from l4p_tpu.models.ingest import ingest_video_tokens
+
+        ecfg = cfg.encoder
+        tt = ecfg.tubelet_size
+        assert stride % tt == 0, "window stride must be a tubelet multiple for token slicing"
+        cdtype = enc_params["patch_embed"]["weight"].dtype
+        tok = ingest_video_tokens(
+            enc_params, rgb_u8_bthw3, ecfg, compute_dtype=cdtype, add_pos_embed=False
+        )  # (B, (T/tt)*gh*gw, E), token order (t2, h, w)
+        gh, gw = h // ecfg.patch_size, w // ecfg.patch_size
+        tok = tok.reshape(b, t // tt, gh * gw, ecfg.embed_dim)
+        tok_windows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(tok, s, ws // tt, axis=1)
+        )(starts // tt)  # (nw, B, ws/tt, gh*gw, E)
+        tok_windows = tok_windows.reshape(nw, b, (ws // tt) * gh * gw, ecfg.embed_dim)
+        windows = tok_windows
+    else:
+        windows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(rgb_b3thw, s, ws, axis=2)
+        )(starts)  # (nw, B, 3, ws, H, W)
+
     if use_cam:
         # encoder expects normalized intrinsics (l4p_videomae.py:225-232)
         k_norm = normalize_intrinsics(intrinsics_b44t.astype(jnp.float32), h, w)
@@ -166,13 +206,16 @@ def encode_windows(
     else:
         inputs = (windows,)
 
+    is_tokens = rgb_u8_bthw3 is not None
+
     def enc_one(xs):
         xw = xs[0]
         kw = xs[1] if use_cam else None
         ew = xs[2] if use_cam else None
         out = encoder_apply(
-            enc_params, xw, cfg.encoder, hooks=hooks, want_final=True,
+            enc_params, None if is_tokens else xw, cfg.encoder, hooks=hooks, want_final=True,
             intrinsics_b44t=kw, extrinsics_b44t=ew,
+            tokens_bne=xw if is_tokens else None,
         )
         return {"hooks": out["hooks"], "final": out["final"]}
 
@@ -395,14 +438,19 @@ def l4p_forward(
     """All-task sliding-window inference (reference L4P_VideoMAE.forward,
     l4p_videomae.py:256-330).
 
-    data: {'rgb_b3thw', optional 'intrinsics_b44t',
+    data: {'rgb_b3thw' (normalized float) OR 'rgb_u8_bthw3' (raw uint8,
+    device-normalized via the fused ingest), optional 'intrinsics_b44t',
     'track_2d_pointquerries_bn3', 'track_2d_pointlabels_bn'}.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     tasks = tuple(tasks)
-    rgb = data["rgb_b3thw"]
-    b, _, t_total, h_img, w_img = rgb.shape
+    rgb_u8 = data.get("rgb_u8_bthw3")
+    rgb = data.get("rgb_b3thw")
+    if rgb_u8 is not None:
+        b, t_total, h_img, w_img = rgb_u8.shape[:4]
+    else:
+        b, _, t_total, h_img, w_img = rgb.shape
     ws, stride = cfg.window_size[0], cfg.window_stride_t
     assert (h_img, w_img) == cfg.window_size[1:], "fixed spatial size only (l4p_videomae.py:260)"
     nw = (t_total - ws) // stride + 1
@@ -410,7 +458,10 @@ def l4p_forward(
     heads = cfg.head_dict
     intr = data.get("intrinsics_b44t")
 
-    enc = encode_windows(params["video_encoder"], cfg, rgb, intr, data.get("extrinsics_b44t"), mesh=mesh)
+    enc = encode_windows(
+        params["video_encoder"], cfg, rgb, intr, data.get("extrinsics_b44t"),
+        mesh=mesh, rgb_u8_bthw3=rgb_u8,
+    )
 
     out: Dict[str, jnp.ndarray] = {}
 
@@ -477,7 +528,10 @@ def l4p_forward(
                 # backward via the reference's prescribed video flip
                 # (sparse_heads.py:242-245); one extra encoder pass only
                 flipped = dict(data)
-                flipped["rgb_b3thw"] = jnp.flip(rgb, axis=2)
+                if rgb_u8 is not None:
+                    flipped["rgb_u8_bthw3"] = jnp.flip(rgb_u8, axis=1)
+                if rgb is not None:
+                    flipped["rgb_b3thw"] = jnp.flip(rgb, axis=2)
                 if intr is not None:
                     flipped["intrinsics_b44t"] = jnp.flip(intr, axis=3)
                 if "extrinsics_b44t" in data:

@@ -24,3 +24,29 @@ def test_fused_ingest_matches_reference_path():
 
     out = ingest_video_tokens(params, jnp.asarray(u8), cfg, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_encode_windows_u8_path_matches_float():
+    """The wired pipeline: encode_windows(rgb_u8_bthw3=...) == float path on
+    the same (uint8-exact) video — token windowing, pos embed, hooks."""
+    from tests.test_l4p_forward import tiny_cfg
+
+    cfg = tiny_cfg()
+    from l4p_tpu.config import init_l4p_params
+    from l4p_tpu.models.l4p import encode_windows
+
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))["video_encoder"]
+    rng = np.random.default_rng(1)
+    u8 = rng.integers(0, 255, (1, 8, 28, 28, 3), np.uint8)
+    x = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    x = jnp.asarray(x.transpose(0, 4, 1, 2, 3))
+
+    ref = encode_windows(params, cfg, x)
+    out = encode_windows(params, cfg, None, rgb_u8_bthw3=jnp.asarray(u8))
+    np.testing.assert_allclose(
+        np.asarray(out["final"]), np.asarray(ref["final"]), rtol=2e-3, atol=2e-3
+    )
+    for h in ref["hooks"]:
+        np.testing.assert_allclose(
+            np.asarray(out["hooks"][h]), np.asarray(ref["hooks"][h]), rtol=2e-3, atol=2e-3
+        )
