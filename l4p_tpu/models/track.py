@@ -216,7 +216,11 @@ def track_forward_item(
     # xy needs the full-resolution heatmap: upsample only the xy channel
     # (N, 2t, 4h, 4w) -> (N, T, H, W), align_corners=False
     # (sparse_heads.py:645-647)
-    xy_logits = interpolate_trilinear(logits[:, tid["xy"]], cfg.image_size, align_corners=False)
+    # lerp method: elementwise resize fuses into the softargmax's softmax
+    # loop (~3x faster on TPU than the matmul resize, which can't fuse)
+    xy_logits = interpolate_trilinear(
+        logits[:, tid["xy"]], cfg.image_size, align_corners=False, method="lerp"
+    )
     out["traj_nt2"] = softargmax_xy(xy_logits, cfg.image_size[1:])  # (N, T, 2)
 
     # vis/depth only need the spatial MEAN of the upsampled logits — a mean

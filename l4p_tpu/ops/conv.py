@@ -54,7 +54,10 @@ def conv_transpose3d(
 ) -> jnp.ndarray:
     """Matches torch.nn.ConvTranspose3d. w: (Cin, Cout, kD, kH, kW) (torch
     layout). Implemented as an input-dilated forward conv with a spatially
-    flipped, IO-swapped kernel."""
+    flipped, IO-swapped kernel. (A kernel==stride einsum formulation was
+    measured SLOWER than this lowering on TPU at the DPT/SAM shapes — the
+    interleave transpose dominates; the SAM upscale instead uses a packed
+    offsets layout, models/sam.py.)"""
     s = _triple(stride)
     p = _triple(padding)
     k = w.shape[2:]

@@ -19,11 +19,9 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=256)
-def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
-    """(n_out, n_in) linear-interpolation matrix matching torch.nn.functional.
-    interpolate's source-index conventions."""
-    if n_out == n_in:
-        return np.eye(n_in, dtype=np.float32)
+def _interp_indices(n_in: int, n_out: int, align_corners: bool):
+    """Per-output (i0, i1, w1) source indices/weight matching
+    torch.nn.functional.interpolate's conventions."""
     dst = np.arange(n_out, dtype=np.float64)
     if align_corners:
         src = dst * (n_in - 1) / max(n_out - 1, 1) if n_out > 1 else np.zeros_like(dst)
@@ -32,21 +30,47 @@ def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
         src = np.maximum(src, 0.0)  # torch clamps source index at 0
     i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
     i1 = np.minimum(i0 + 1, n_in - 1)
-    w1 = (src - np.floor(src)).astype(np.float64)
-    w0 = 1.0 - w1
+    w1 = (src - np.floor(src)).astype(np.float32)
+    return i0, i1, w1
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """(n_out, n_in) linear-interpolation matrix (used where a closed-form
+    row/column reduction of the interpolation is wanted, e.g. the track
+    head's exact spatial means)."""
+    if n_out == n_in:
+        return np.eye(n_in, dtype=np.float32)
+    i0, i1, w1 = _interp_indices(n_in, n_out, align_corners)
     m = np.zeros((n_out, n_in), dtype=np.float64)
-    m[np.arange(n_out), i0] += w0
-    m[np.arange(n_out), i1] += w1
+    m[np.arange(n_out), i0] += 1.0 - w1.astype(np.float64)
+    m[np.arange(n_out), i1] += w1.astype(np.float64)
     return m.astype(np.float32)
 
 
-def _interp_axis(x: jnp.ndarray, n_out: int, axis: int, align_corners: bool) -> jnp.ndarray:
+def _interp_axis(
+    x: jnp.ndarray, n_out: int, axis: int, align_corners: bool, method: str = "matmul"
+) -> jnp.ndarray:
     n_in = x.shape[axis]
     if n_in == n_out:
         return x
+    if method == "lerp":
+        # gather + fused-multiply-add on the VPU (exact fp32 math, same
+        # values as the matmul). Elementwise, so XLA fuses it into
+        # elementwise consumers — the track head's upsample->softargmax
+        # chain runs ~3x faster this way (the MXU matmul below cannot fuse
+        # into the softmax loop). Standalone resizes feeding convs are
+        # faster on the matmul path; callers pick.
+        i0, i1, w1 = _interp_indices(n_in, n_out, align_corners)
+        shape = [1] * x.ndim
+        shape[axis] = n_out
+        w1j = jnp.asarray(w1).reshape(shape)
+        x0 = jnp.take(x, jnp.asarray(i0), axis=axis).astype(jnp.float32)
+        x1 = jnp.take(x, jnp.asarray(i1), axis=axis).astype(jnp.float32)
+        return (x0 * (1.0 - w1j) + x1 * w1j).astype(x.dtype)
     # weights stay fp32 (casting them to a bf16 input's dtype would truncate
     # the interpolation coefficients); the matmul promotes, the result is
-    # cast back. These matmuls are negligible FLOPs next to the convs.
+    # cast back.
     m = jnp.asarray(_interp_matrix(n_in, n_out, align_corners), dtype=jnp.float32)
     out = jnp.tensordot(
         x.astype(jnp.float32), m, axes=[[axis], [1]], precision=jax.lax.Precision.HIGHEST
@@ -59,21 +83,22 @@ def resize_linear(
     out_sizes: Sequence[int],
     axes: Sequence[int],
     align_corners: bool = False,
+    method: str = "matmul",
 ) -> jnp.ndarray:
     """Separable linear resize of the given axes to the given sizes."""
     assert len(out_sizes) == len(axes)
     for axis, n_out in zip(axes, out_sizes):
-        x = _interp_axis(x, int(n_out), axis, align_corners)
+        x = _interp_axis(x, int(n_out), axis, align_corners, method)
     return x
 
 
 def interpolate_trilinear(
-    x: jnp.ndarray, size: Sequence[int], align_corners: bool = False
+    x: jnp.ndarray, size: Sequence[int], align_corners: bool = False, method: str = "matmul"
 ) -> jnp.ndarray:
     """x: (..., T, H, W) -> (..., size[0], size[1], size[2]).
     Matches F.interpolate(mode='trilinear')."""
     nd = x.ndim
-    return resize_linear(x, size, (nd - 3, nd - 2, nd - 1), align_corners)
+    return resize_linear(x, size, (nd - 3, nd - 2, nd - 1), align_corners, method)
 
 
 def interpolate_bilinear(
