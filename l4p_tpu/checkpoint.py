@@ -89,6 +89,74 @@ def convert_encoder(sd: Mapping[str, np.ndarray], cfg: EncoderConfig, prefix: st
     return params
 
 
+def convert_encoder_lenient(
+    sd: Mapping[str, np.ndarray],
+    cfg: EncoderConfig,
+    init_params: Dict,
+    prefix: str = "",
+    dtype=jnp.float32,
+) -> Dict:
+    """`load_state_dict(ckpt, strict=False)` analog for encoder-only init
+    (reference l4p_videomae.py:187-191): overlay whatever encoder tensors the
+    checkpoint provides onto `init_params`, keeping init values for anything
+    missing and ignoring extra keys (e.g. an MAE decoder). A stacked-blocks
+    entry loads only when every per-block tensor is present."""
+    g = lambda k: _np(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    d, e = cfg.depth, cfg.embed_dim
+
+    out = dict(init_params)
+    pe = dict(init_params["patch_embed"])
+    if has("patch_embed.proj.weight"):
+        pe["weight"] = jnp.asarray(g("patch_embed.proj.weight").reshape(e, -1), dtype)
+    if has("patch_embed.proj.bias"):
+        pe["bias"] = jnp.asarray(g("patch_embed.proj.bias"), dtype)
+    out["patch_embed"] = pe
+
+    blocks = dict(init_params["blocks"])
+
+    def try_stack(ours: str, fmt: str, reshape=None):
+        keys = [fmt.format(i) for i in range(d)]
+        if all(has(k) for k in keys):
+            arrs = [g(k) for k in keys]
+            if reshape is not None:
+                arrs = [a.reshape(reshape) for a in arrs]
+            blocks[ours] = jnp.asarray(np.stack(arrs), dtype)
+
+    try_stack("norm1_w", "blocks.{}.norm1.weight")
+    try_stack("norm1_b", "blocks.{}.norm1.bias")
+    try_stack("qkv_w", "blocks.{}.attn.qkv.weight", reshape=(3, e, e))
+    try_stack("q_bias", "blocks.{}.attn.q_bias")
+    try_stack("v_bias", "blocks.{}.attn.v_bias")
+    try_stack("proj_w", "blocks.{}.attn.proj.weight")
+    try_stack("proj_b", "blocks.{}.attn.proj.bias")
+    try_stack("norm2_w", "blocks.{}.norm2.weight")
+    try_stack("norm2_b", "blocks.{}.norm2.bias")
+    try_stack("fc1_w", "blocks.{}.mlp.fc1.weight")
+    try_stack("fc1_b", "blocks.{}.mlp.fc1.bias")
+    try_stack("fc2_w", "blocks.{}.mlp.fc2.weight")
+    try_stack("fc2_b", "blocks.{}.mlp.fc2.bias")
+    if cfg.cos_attn:
+        try_stack("attn_scale", "blocks.{}.attn.scale")
+    out["blocks"] = blocks
+
+    norm = dict(init_params["norm"])
+    if has("norm.weight"):
+        norm["weight"] = jnp.asarray(g("norm.weight"), dtype)
+    if has("norm.bias"):
+        norm["bias"] = jnp.asarray(g("norm.bias"), dtype)
+    out["norm"] = norm
+
+    if cfg.use_learnable_pos_emb and has("pos_embed"):
+        out["pos_embed"] = jnp.asarray(g("pos_embed")[:, : cfg.num_tokens], dtype)
+    if cfg.cam_emb_placed_at is not None and has("cam_emb.cam_emb_proj.weight"):
+        out["cam_emb"] = {
+            "weight": jnp.asarray(g("cam_emb.cam_emb_proj.weight"), dtype),
+            "bias": jnp.asarray(g("cam_emb.cam_emb_proj.bias"), dtype),
+        }
+    return out
+
+
 def convert_mae(sd: Mapping[str, np.ndarray], cfg, prefix: str = "", dtype=jnp.float32) -> Dict:
     """Convert a PretrainVisionTransformer (MAE) checkpoint
     (modeling_pretrain.py:246-328). cfg: l4p_tpu.models.mae.MAEConfig."""

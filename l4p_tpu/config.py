@@ -134,6 +134,8 @@ def load_model_config(path: str) -> Tuple[L4PConfig, Tuple[str, ...]]:
     if "encoder" in m:
         enc = EncoderConfig(**m["encoder"])
 
+    unfreeze = m.get("unfreeze_blocks")
+    freeze_heads = m.get("freeze_heads")
     return (
         L4PConfig(
             encoder=enc,
@@ -142,6 +144,10 @@ def load_model_config(path: str) -> Tuple[L4PConfig, Tuple[str, ...]]:
             joint_alignment=m.get("joint_alignment", False),
             heads=tuple(heads),
             track=track,
+            freeze_video_encoder=m.get("freeze_video_encoder", False),
+            unfreeze_blocks=tuple(unfreeze) if unfreeze is not None else None,
+            freeze_heads=tuple(freeze_heads) if freeze_heads else (),
+            video_encoder_ckpt_path=m.get("video_encoder_ckpt_path"),
         ),
         tasks,
     )
@@ -202,9 +208,36 @@ def prepare_model(
         cfg = dataclasses.replace(cfg, track=dataclasses.replace(cfg.track, max_queries=max_queries))
     if ckpt_path is None:
         params = init_l4p_params(cfg, jax.random.PRNGKey(0), dtype)
+        if cfg.video_encoder_ckpt_path:
+            params["video_encoder"] = load_video_encoder_ckpt(
+                params["video_encoder"], cfg.video_encoder_ckpt_path, cfg.encoder, dtype
+            )
     else:
         import torch
 
         ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
         params = convert_l4p(ckpt["state_dict"], cfg, dtype)
     return params, cfg, tasks
+
+
+def load_video_encoder_ckpt(enc_params: Dict, path: str, enc_cfg, dtype=jnp.bfloat16) -> Dict:
+    """Encoder-only init from a torch checkpoint, strict=False analog
+    (reference l4p_videomae.py:187-191): present tensors overlay the init,
+    missing ones keep it, extras are ignored. Accepts raw state dicts or the
+    usual {'state_dict'|'model'|'module': ...} wrappers."""
+    import torch
+
+    from l4p_tpu.checkpoint import convert_encoder_lenient
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model", "module"):
+        if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+            ckpt = ckpt[key]
+            break
+    sd = state_dict_to_numpy(ckpt)
+    # tolerate an 'encoder.' prefix (MAE pretrain checkpoints)
+    if not any(k.startswith("blocks.") for k in sd) and any(
+        k.startswith("encoder.blocks.") for k in sd
+    ):
+        sd = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
+    return convert_encoder_lenient(sd, enc_cfg, enc_params, dtype=dtype)

@@ -40,8 +40,20 @@ def l4p_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Single-window multi-task loss with the reference loss-module contract
     (l4p.py:69-71). Batch keys follow the L4PData schema
-    (l4p_dataset_mini.py:16-44)."""
+    (l4p_dataset_mini.py:16-44).
+
+    SCOPE: training operates on single-window clips (T == window size), the
+    standard regime for this architecture — the released reference ships no
+    loss at all and its training hooks are likewise per-clip (l4p.py:54-71).
+    Multi-window *inference* stitching (scan carries, aligners) is
+    inference-only and not differentiated through.
+    """
     rgb = batch["rgb_b3thw"]
+    assert rgb.shape[2] == cfg.window_size[0], (
+        f"l4p_loss trains on single-window clips: T={rgb.shape[2]} != "
+        f"window {cfg.window_size[0]} — crop/sample clips to the window "
+        "length in the data pipeline (L4PDataset does by default)"
+    )
     img_info = (rgb.shape[2], rgb.shape[3], rgb.shape[4])
     heads = cfg.head_dict
     hooks = cfg.all_hooks
@@ -122,25 +134,113 @@ def l4p_loss(
     return total, losses
 
 
+def trainable_mask(params: Dict, cfg: L4PConfig) -> Dict:
+    """Per-parameter trainability multipliers (1.0 train / 0.0 frozen),
+    same pytree structure as `params`.
+
+    Functional equivalent of the reference's requires_grad toggles
+    (l4p_videomae.py:199-218): `freeze_video_encoder` freezes the encoder;
+    `unfreeze_blocks` re-enables listed ViT blocks plus the final norm;
+    `freeze_heads` freezes whole task heads. Because encoder blocks are
+    stacked along a leading depth axis here, per-block unfreezing is a
+    (depth, 1, ...) multiplier on the stacked leaves rather than a per-leaf
+    bool. The (non-learnable) sinusoid pos_embed is always frozen — it is a
+    buffer in the reference, and letting AdamW weight-decay it would corrupt
+    a constant.
+    """
+    enc_cfg = cfg.encoder
+
+    def const(tree, val: float):
+        return jax.tree.map(lambda _: val, tree)
+
+    enc = params["video_encoder"]
+    enc_mask: Dict = {}
+    if cfg.freeze_video_encoder:
+        ub = tuple(cfg.unfreeze_blocks) if cfg.unfreeze_blocks is not None else ()
+        import numpy as np
+
+        blk_vec = np.zeros((enc_cfg.depth,), np.float32)
+        if ub:
+            blk_vec[list(ub)] = 1.0
+        for k, v in enc.items():
+            if k == "blocks":
+                enc_mask[k] = {
+                    kk: jnp.asarray(blk_vec.reshape((enc_cfg.depth,) + (1,) * (vv.ndim - 1)))
+                    for kk, vv in v.items()
+                }
+            elif k == "norm":
+                # unfreeze_blocks also re-enables head+norm (l4p_videomae.py:205-208)
+                enc_mask[k] = const(v, 1.0 if cfg.unfreeze_blocks is not None else 0.0)
+            else:  # patch_embed, pos_embed, cam_emb
+                enc_mask[k] = const(v, 0.0)
+    else:
+        for k, v in enc.items():
+            if k == "pos_embed" and not enc_cfg.use_learnable_pos_emb:
+                enc_mask[k] = const(v, 0.0)
+            else:
+                enc_mask[k] = const(v, 1.0)
+
+    heads_mask = {
+        name: const(sub, 0.0 if name in cfg.freeze_heads else 1.0)
+        for name, sub in params["task_heads"].items()
+    }
+    return {"video_encoder": enc_mask, "task_heads": heads_mask}
+
+
+def apply_trainable_mask(mask: Dict) -> optax.GradientTransformation:
+    """Multiply updates elementwise by the trainability mask. Placed before
+    AdamW it zeroes frozen gradients (keeps them out of the clip norm and the
+    moments); placed after, it kills the weight-decay drift on frozen
+    (slices of) parameters so they stay bitwise unchanged."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        out = jax.tree.map(lambda g, m: g * jnp.asarray(m, dtype=g.dtype), updates, mask)
+        return out, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _fully_trainable(mask: Dict) -> Dict:
+    """Leaf-level bools: True where any slice of the leaf is trainable —
+    drives optax.masked so fully-frozen leaves get no AdamW moments
+    (for a frozen 1B-param encoder that saves ~8 GB of fp32 moments)."""
+    import numpy as np
+
+    return jax.tree.map(lambda m: bool(np.any(np.asarray(m) > 0)), mask)
+
+
 def make_optimizer(
     lr: float = 1e-4,
     total_steps: int = 10000,
     weight_decay: float = 0.05,
     pct_start: float = 0.1,
     clip_norm: float = 1.0,
+    mask: Optional[Dict] = None,
 ) -> optax.GradientTransformation:
     """AdamW + one-cycle schedule (reference configure_optimizers,
     l4p.py:111-126) with global-norm clipping (the exp-depth head makes
-    unclipped early steps explosive)."""
+    unclipped early steps explosive). `mask` (from trainable_mask) freezes
+    parameters exactly: zero gradients into the clip/moments, no moment
+    state for fully-frozen leaves, and no weight-decay drift."""
     # optax's one-cycle NaNs if the warmup phase rounds to zero steps —
     # ensure at least one step of warmup
     pct_start = max(pct_start, min(2.0 / max(total_steps, 2), 0.5))
     sched = optax.cosine_onecycle_schedule(
         transition_steps=max(total_steps, 4), peak_value=lr, pct_start=pct_start
     )
+    adamw = optax.adamw(sched, weight_decay=weight_decay)
+    if mask is None:
+        return optax.chain(optax.clip_by_global_norm(clip_norm), adamw)
     return optax.chain(
+        apply_trainable_mask(mask),
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(sched, weight_decay=weight_decay),
+        optax.masked(adamw, _fully_trainable(mask)),
+        apply_trainable_mask(mask),
     )
 
 

@@ -23,7 +23,7 @@ import optax
 
 from l4p_tpu.models.l4p import L4PConfig
 from l4p_tpu.metrics import l4p_metrics
-from l4p_tpu.train import l4p_loss, make_optimizer
+from l4p_tpu.train import l4p_loss, make_optimizer, trainable_mask
 from l4p_tpu import checkpoint_io
 
 
@@ -61,9 +61,15 @@ class Trainer:
         self.cfg = trainer_cfg
         self.loss_fn = loss_fn or (lambda p, b: l4p_loss(p, model_cfg, b, self.tasks))
         self.metrics_fn = metrics_fn
-        self.optimizer = make_optimizer(
-            lr=trainer_cfg.lr, total_steps=trainer_cfg.max_steps, weight_decay=trainer_cfg.weight_decay
-        )
+        # the freeze mask (freeze_video_encoder / unfreeze_blocks /
+        # freeze_heads, reference l4p_videomae.py:199-218) needs the param
+        # tree, so the optimizer is built lazily at first fit/restore
+        self.optimizer = None
+        if not (model_cfg.freeze_video_encoder or model_cfg.freeze_heads):
+            self.optimizer = make_optimizer(
+                lr=trainer_cfg.lr, total_steps=trainer_cfg.max_steps,
+                weight_decay=trainer_cfg.weight_decay,
+            )
         os.makedirs(trainer_cfg.out_dir, exist_ok=True)
         self._log_f = open(os.path.join(trainer_cfg.out_dir, "scalars.jsonl"), "a")
         # save the resolved run config (LightningCLI's save_config with
@@ -95,6 +101,15 @@ class Trainer:
         self._log_f.write(json.dumps(rec) + "\n")
         self._log_f.flush()
 
+    def _ensure_optimizer(self, params):
+        if self.optimizer is None:
+            self.optimizer = make_optimizer(
+                lr=self.cfg.lr, total_steps=self.cfg.max_steps,
+                weight_decay=self.cfg.weight_decay,
+                mask=trainable_mask(params, self.model_cfg),
+            )
+        return self.optimizer
+
     def save(self, params, opt_state, step: int):
         path = os.path.join(self.cfg.out_dir, f"ckpt_{step:07d}")
         checkpoint_io.save(path, {"params": params, "opt_state": opt_state, "step": step})
@@ -103,7 +118,7 @@ class Trainer:
     def restore(self, path: str, params_like, opt_state_like=None):
         """Resume from a Trainer checkpoint: returns (params, opt_state, step)."""
         if opt_state_like is None:
-            opt_state_like = self.optimizer.init(params_like)
+            opt_state_like = self._ensure_optimizer(params_like).init(params_like)
         tree = checkpoint_io.load(
             path, like={"params": params_like, "opt_state": opt_state_like, "step": 0}
         )
@@ -117,6 +132,7 @@ class Trainer:
         opt_state=None,
         start_step: int = 0,
     ):
+        self._ensure_optimizer(params)
         if opt_state is None:
             opt_state = self.optimizer.init(params)
         step = start_step

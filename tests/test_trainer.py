@@ -61,6 +61,100 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_freeze_video_encoder_bitwise(tmp_path):
+    """freeze_video_encoder + unfreeze_blocks (reference
+    l4p_videomae.py:199-218): frozen params are BITWISE unchanged after fit;
+    unfrozen blocks, the final norm, and the heads do change."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg(), freeze_video_encoder=True, unfreeze_blocks=(1,))
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg, TASKS, TrainerConfig(max_steps=3, log_every=10, ckpt_every=10,
+                                                out_dir=str(tmp_path), lr=1e-3))
+    batches = [make_train_batch(seed=i) for i in range(3)]
+    params2, _, _ = trainer.fit(params, iter(batches))
+
+    enc0, enc1 = params["video_encoder"], params2["video_encoder"]
+    # patch embed + pos embed: bitwise frozen
+    np.testing.assert_array_equal(np.asarray(enc0["patch_embed"]["weight"]),
+                                  np.asarray(enc1["patch_embed"]["weight"]))
+    np.testing.assert_array_equal(np.asarray(enc0["pos_embed"]), np.asarray(enc1["pos_embed"]))
+    # frozen block slices bitwise equal, unfrozen block 1 changed
+    for k in enc0["blocks"]:
+        b0, b1 = np.asarray(enc0["blocks"][k]), np.asarray(enc1["blocks"][k])
+        np.testing.assert_array_equal(b0[0], b1[0], err_msg=f"frozen block leaked: {k}")
+        np.testing.assert_array_equal(b0[2:], b1[2:], err_msg=f"frozen block leaked: {k}")
+    changed = any(
+        not np.array_equal(np.asarray(enc0["blocks"][k])[1], np.asarray(enc1["blocks"][k])[1])
+        for k in ("qkv_w", "proj_w", "fc1_w", "fc2_w")
+    )
+    assert changed, "unfreeze_blocks=(1,) did not train block 1"
+    # norm unfrozen alongside unfreeze_blocks
+    assert not np.array_equal(np.asarray(enc0["norm"]["weight"]), np.asarray(enc1["norm"]["weight"]))
+    # heads train
+    h0 = jax.tree.leaves(params["task_heads"]["depth"])[0]
+    h1 = jax.tree.leaves(params2["task_heads"]["depth"])[0]
+    assert not np.array_equal(np.asarray(h0), np.asarray(h1))
+
+
+def test_freeze_heads_bitwise(tmp_path):
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg(), freeze_heads=("depth",))
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    trainer = Trainer(cfg, TASKS, TrainerConfig(max_steps=2, log_every=10, ckpt_every=10,
+                                                out_dir=str(tmp_path), lr=1e-3))
+    params2, _, _ = trainer.fit(params, iter([make_train_batch(seed=i) for i in range(2)]))
+    for a, b in zip(jax.tree.leaves(params["task_heads"]["depth"]),
+                    jax.tree.leaves(params2["task_heads"]["depth"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    f0 = jax.tree.leaves(params["task_heads"]["flow_2d_backward"])[0]
+    f1 = jax.tree.leaves(params2["task_heads"]["flow_2d_backward"])[0]
+    assert not np.array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_encoder_only_ckpt_init(tmp_path):
+    """video_encoder_ckpt_path strict=False analog
+    (l4p_videomae.py:187-191): present tensors load, missing keep init,
+    extras are ignored."""
+    import numpy as _np
+
+    from l4p_tpu.checkpoint import convert_encoder_lenient
+    from tests.test_l4p_forward import TINY_ENC
+
+    cfg = TINY_ENC
+    params = init_l4p_params(tiny_cfg(), jax.random.PRNGKey(0))["video_encoder"]
+    e = cfg.embed_dim
+    rng = _np.random.default_rng(0)
+    sd = {}
+    # full block stack for norm1 only + patch_embed; plus an extra decoder key
+    for i in range(cfg.depth):
+        sd[f"blocks.{i}.norm1.weight"] = rng.standard_normal(e).astype(_np.float32)
+    sd["patch_embed.proj.weight"] = rng.standard_normal(
+        (e, 3, cfg.tubelet_size, cfg.patch_size, cfg.patch_size)
+    ).astype(_np.float32)
+    sd["decoder.blocks.0.attn.qkv.weight"] = rng.standard_normal((3 * e, e)).astype(_np.float32)
+    # partial stack (missing block 0) must NOT load
+    for i in range(1, cfg.depth):
+        sd[f"blocks.{i}.norm2.weight"] = rng.standard_normal(e).astype(_np.float32)
+
+    out = convert_encoder_lenient(sd, cfg, params, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out["blocks"]["norm1_w"][3]), sd["blocks.3.norm1.weight"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["patch_embed"]["weight"]),
+        sd["patch_embed.proj.weight"].reshape(e, -1), rtol=1e-6,
+    )
+    # missing entries keep init
+    np.testing.assert_array_equal(
+        np.asarray(out["blocks"]["norm2_w"]), np.asarray(params["blocks"]["norm2_w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["blocks"]["qkv_w"]), np.asarray(params["blocks"]["qkv_w"])
+    )
+
+
 def test_sanity_skip():
     assert do_data_sanity_checks({"track_2d_valid_bn1t": np.zeros((1, 3, 1, 4))})
     assert not do_data_sanity_checks({"track_2d_valid_bn1t": np.ones((1, 3, 1, 4))})
