@@ -13,72 +13,16 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
-import time
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 TASKS = ("flow_2d_backward", "track_2d", "depth", "dyn_mask", "camray")
 
-
-_FWD_CACHE = {}
-
-
-def _get_fwd(cfg, tasks):
-    """One jitted forward per task set — reused across sequences so repeated
-    shapes don't retrace/recompile."""
-    key = tuple(tasks)
-    if key not in _FWD_CACHE:
-        from l4p_tpu.models.l4p import l4p_forward
-
-        _FWD_CACHE[key] = jax.jit(
-            lambda p, d: l4p_forward(p, cfg, d, key, key=jax.random.PRNGKey(0))
-        )
-    return _FWD_CACHE[key]
-
-
-def run_sequence(params, cfg, tasks, batch, out_dir, seq_name, dtype=jnp.bfloat16):
-    from l4p_tpu.utils.vis import generate_video_visualizations, generate_4d_visualization
-
-    data = {}
-    for k, v in batch.items():
-        if isinstance(v, np.ndarray):
-            data[k] = jnp.asarray(v, dtype if k == "rgb_b3thw" else None)
-
-    fwd = _get_fwd(cfg, tasks)
-    t0 = time.time()
-    out = fwd(params, data)
-    out_np = {k: np.asarray(v, np.float32) for k, v in out.items()}
-    dt = time.time() - t0
-    t_frames = batch["rgb_b3thw"].shape[2]
-    print(f"[{seq_name}] {t_frames} frames in {dt:.2f}s ({t_frames / dt:.1f} fps incl. compile)")
-    print(f"[{seq_name}] outputs: {sorted(out_np.keys())}")
-
-    os.makedirs(out_dir, exist_ok=True)
-    vis_path = generate_video_visualizations(
-        batch, out_np, tasks, os.path.join(out_dir, f"{seq_name}_panels.mp4")
-    )
-    print(f"[{seq_name}] wrote {vis_path}")
-    if "depth_est_b1thw" in out_np and "traj3d_est_b16t" in out_np:
-        from l4p_tpu.utils.vis import generate_camera_trajectory_ply, generate_3d_track_ply
-
-        seq_dir = os.path.join(out_dir, seq_name)
-        plys = generate_4d_visualization(batch, out_np, seq_dir, stride=4)
-        n_ply = len(plys)
-        if "traj3d_intrinsics_est_b16t" in out_np:  # absent in use_intrinsics configs
-            generate_camera_trajectory_ply(out_np, os.path.join(seq_dir, "cameras.ply"))
-            n_ply += 1
-        if "track_2d_traj_est_bn2t" in out_np and "track_2d_depth_est_bn1t" in out_np:
-            n_ply += len(generate_3d_track_ply(batch, out_np, seq_dir))
-        print(f"[{seq_name}] wrote {n_ply} point clouds (view: python -c "
-              f"\"from l4p_tpu.utils.vis import serve_point_clouds; "
-              f"serve_point_clouds('{seq_dir}').serve_forever()\")")
-    return out_np
+from l4p_tpu.inference import run_sequence  # noqa: E402 — shared with the CLI
 
 
 def main():

@@ -94,10 +94,21 @@ def main(argv=None):
         data_it = _dataset(args, cfg)
         scalars = trainer.validate(params, data_it(), phase="val" if args.command == "validate" else "test")
         print(scalars)
-    else:  # predict
+    else:  # predict — write the demo artifacts (panel mp4 + 4D PLY exports),
+        # matching the reference demo surface (reference demo/demo.py:78-154)
+        from l4p_tpu.inference import run_sequence
+
         data_it = _dataset(args, cfg)
-        for i, out in enumerate(trainer.predict(params, data_it())):
-            print(f"sample {i}: " + ", ".join(f"{k}{list(v.shape)}" for k, v in out.items()))
+        for i, batch in enumerate(data_it()):
+            seq = str(batch.get("seq_name", f"seq{i}"))
+            if isinstance(seq, (list, tuple)):
+                seq = str(seq[0])
+            out = run_sequence(
+                params, cfg, tasks, batch, args.out_dir, seq,
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            )
+            print(f"sample {i} ({seq}): "
+                  + ", ".join(f"{k}{list(v.shape)}" for k, v in sorted(out.items())))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,33 @@
+"""Shared inference driver: CLI `predict` / demo artifact writing
+(reference surface: demo/demo.py:78-154 writes panel mp4 + PLY exports)."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from l4p_tpu.config import init_l4p_params
+from l4p_tpu.inference import run_sequence
+from tests.test_l4p_forward import make_data, tiny_cfg
+
+TASKS = ("flow_2d_backward", "track_2d", "depth", "dyn_mask", "camray")
+
+
+def test_run_sequence_writes_artifacts(tmp_path):
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = make_data(T=8, N=5)
+    batch = {k: np.asarray(v) for k, v in data.items()}
+    batch["rgb_mean_b3111"] = np.full((1, 3, 1, 1, 1), 0.45, np.float32)
+    batch["rgb_std_b3111"] = np.full((1, 3, 1, 1, 1), 0.22, np.float32)
+
+    out = run_sequence(params, cfg, TASKS, batch, str(tmp_path), "clip", dtype=jnp.float32)
+
+    # the CLI-visible artifacts: panel video + 4D exports
+    assert os.path.getsize(tmp_path / "clip_panels.mp4") > 1000
+    seq_dir = tmp_path / "clip"
+    plys = [p for p in os.listdir(seq_dir) if p.endswith(".ply")]
+    assert len(plys) >= 3  # point clouds + cameras + 3D tracks
+    assert "depth_est_b1thw" in out and "traj3d_est_b16t" in out
