@@ -180,7 +180,14 @@ def sim3_overlap_solve(
     depth_p = pred["depth"]
     b, _, t, h, w = depth_p.shape
 
-    dr = jnp.quantile(depth_p.reshape(b, -1).astype(jnp.float32), 0.98, axis=-1)
+    # q98 of the overlap depth scales the inlier threshold (aligner.py:221).
+    # A 4x4-strided spatial subsample gives a statistically identical
+    # estimate of a 98th percentile while cutting the on-device sort ~16x
+    # (the full-resolution jnp.quantile sort showed up at ~5 ms per window
+    # transition in profiles); the threshold only gates RANSAC inliers.
+    dr = jnp.quantile(
+        depth_p[:, :, :, ::4, ::4].reshape(b, -1).astype(jnp.float32), 0.98, axis=-1
+    )
     thresh_b = dr * reprojection_threshold
 
     step = frame_sample_step

@@ -252,8 +252,19 @@ def track_forward_item(
             pf, params["prompt_feature_linear"]["weight"], params["prompt_feature_linear"]["bias"]
         )
     if cfg.attend_to_past:
-        out["enc_history_npc"] = linear(
-            processed["enc_features"],
+        # Only the LAST te/2 tubelet steps of the processed features survive
+        # into the next window's memory (the time shift keeps the overlap and
+        # fills the rest with the learned mask token, sparse_heads.py:428-434)
+        # — slice BEFORE projecting: halves the projection matmul and the
+        # carried memory; the mask-token half is a constant the windowed
+        # scan re-attaches.
+        te = cfg.sam.image_embedding_size[0]
+        pn = processed["enc_features"].shape[-2]
+        kept = processed["enc_features"].reshape(
+            processed["enc_features"].shape[0], te, pn // te, -1
+        )[:, te // 2 :].reshape(processed["enc_features"].shape[0], pn // 2, -1)
+        out["enc_history_kept_npc"] = linear(
+            kept,
             params["processed_video_features_proj"]["weight"],
             params["processed_video_features_proj"]["bias"],
         )
@@ -286,7 +297,7 @@ def track_forward(
     if cfg.prompt_using_features:
         out[f"{t}_prompt_features_bnc"] = item["prompt_features_nc"]
     if cfg.attend_to_past:
-        out[f"{t}_enc_features_with_track_history_bnpc"] = item["enc_history_npc"]
+        out[f"{t}_enc_history_kept_bnpc"] = item["enc_history_kept_npc"]
     return out
 
 
@@ -317,8 +328,12 @@ def track_forward_windowed(
     mdtype = enc_final_wbpc.dtype  # model compute dtype (e.g. bf16 on TPU)
 
     if cfg.attend_to_past:
+        # the carry holds only the KEPT half of the token memory — the other
+        # half is always the learned mask token, re-attached below as a
+        # query-broadcast constant (halves the scan's big-carry copies)
         hist0 = jnp.broadcast_to(
-            params["processed_video_mask_token"].astype(mdtype)[None, None, None, :], (b, n, p, c)
+            params["processed_video_mask_token"].astype(mdtype)[None, None, None, :],
+            (b, n, p // 2, c),
         )
     else:
         # scalar placeholder — carrying a real (B,N,P,C) zeros buffer would
@@ -356,7 +371,15 @@ def track_forward_windowed(
         q_off = cur_q.at[:, :, 0].add(-start)
 
         if cfg.attend_to_past:
-            enc_in = enc_bpc[:, None] + carry["history"]  # (B,N,P,C)
+            # first half of the window's tokens: per-query kept memory;
+            # second half: the constant mask token, shared by all queries
+            first = enc_bpc[:, None, : p // 2] + carry["history"]  # (B,N,P/2,C)
+            second = (enc_bpc[:, p // 2 :] + params["processed_video_mask_token"].astype(mdtype))[
+                :, None
+            ]
+            enc_in = jnp.concatenate(
+                [first, jnp.broadcast_to(second, (b, n, p - p // 2, c))], axis=2
+            )
         else:
             enc_in = enc_bpc
 
@@ -377,10 +400,10 @@ def track_forward_windowed(
         if cfg.estimate_depth:
             depth_buf = masked_write(carry["depth"], out[f"{tname}_depth_est_bn1t"])
 
-        # ---- prepare next window (skipped after the last window,
-        # sparse_heads.py:381-486) ----
-        is_last = w_idx >= nw - 1
-
+        # ---- prepare next window (the reference skips this after the last
+        # window, sparse_heads.py:381-486 — equivalent here: the scan's final
+        # carry is discarded except for the output buffers, so computing the
+        # unused update costs nothing and avoids three full-size selects) ----
         new_pf = carry["prompt_feats"]
         new_pl = carry["prompt_labels"]
         if cfg.prompt_using_features:
@@ -389,14 +412,9 @@ def track_forward_windowed(
 
         new_hist = carry["history"]
         if cfg.attend_to_past:
-            h_full = out[f"{tname}_enc_features_with_track_history_bnpc"].astype(mdtype)
-            h_grid = h_full.reshape(b, n, te, he, we_, c)
-            keep = h_grid[:, :, te // 2 :]  # overlap tubelet steps (sparse_heads.py:428-434)
-            mask_tok = jnp.broadcast_to(
-                params["processed_video_mask_token"].astype(mdtype)[None, None, None, None, None, :],
-                (b, n, te // 2, he, we_, c),
-            )
-            new_hist = jnp.concatenate([keep, mask_tok], axis=2).reshape(b, n, p, c)
+            # already sliced to the kept overlap steps and projected inside
+            # track_forward (sparse_heads.py:428-434 semantics)
+            new_hist = out[f"{tname}_enc_history_kept_bnpc"].astype(mdtype)
 
         # re-query at the argmax-visibility frame inside the next overlap
         # (sparse_heads.py:450-486)
@@ -411,14 +429,11 @@ def track_forward_windowed(
         q_valid = cand_q[..., 0] > cur_q[..., 0]
         new_q = jnp.where(q_valid[..., None], cand_q, cur_q)
 
-        def keep_or(new, old):
-            return jnp.where(is_last, old, new)
-
         next_carry = {
-            "queries": keep_or(new_q, cur_q),
-            "prompt_feats": keep_or(new_pf, carry["prompt_feats"]),
-            "prompt_labels": keep_or(new_pl, carry["prompt_labels"]),
-            "history": keep_or(new_hist, carry["history"]),
+            "queries": new_q,
+            "prompt_feats": new_pf,
+            "prompt_labels": new_pl,
+            "history": new_hist,
             "traj": traj_buf,
             "vis": vis_buf,
             "depth": depth_buf,

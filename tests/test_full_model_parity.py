@@ -166,12 +166,37 @@ def test_full_model_single_window_parity():
         ("track_2d_traj_est_bn2t", 5e-2, 5e-2),
         ("track_2d_vis_est_bn1t", 5e-2, 5e-2),
         ("track_2d_depth_est_bn1t", 5e-2, 5e-2),
-        # camray: cv2-RANSAC vs our RANSAC differ stochastically; poses from
-        # noiseless-ish rays still agree loosely
-        ("traj3d_est_b16t", 0.1, 0.1),
     ]
     for key_, rtol, atol in checks:
         ours = np.asarray(out[key_], np.float32)
         theirs = ref_out[key_].numpy().astype(np.float32)
         assert ours.shape == theirs.shape, f"{key_}: {ours.shape} vs {theirs.shape}"
         np.testing.assert_allclose(ours, theirs, rtol=rtol, atol=atol, err_msg=key_)
+
+    # camray: the pose comes from homography-RANSAC K estimation + Kabsch on
+    # the predicted RAY MAP. With random weights the rays are garbage and
+    # that solve is chaotic — cv2's RANSAC and ours legitimately diverge
+    # (measured: 45% of pose entries differ on the same rays). So at giant
+    # scale we assert tight parity on the RAYS (the deterministic network
+    # output, reference dense_heads.py:300) and finiteness/shape of the pose;
+    # solve parity on well-conditioned rays is covered by
+    # tests/test_geometry.py::test_rays_to_cameras* and
+    # tests/test_camray_windowed.py.
+    with torch.no_grad():
+        feats_ref = ref.encode_features(batch_t)
+        rays_ref = ref.task_heads["camray"].task_head(feats_ref, (16, 224, 224))
+    from l4p_tpu.models.l4p import dense_head_raw, encode_windows
+
+    enc = encode_windows(params["video_encoder"], cfg_nj, data["rgb_b3thw"])
+    hcfg = cfg_nj.head_dict["camray"]
+    rays_ours = dense_head_raw(
+        params["task_heads"]["camray"], hcfg,
+        [enc["hooks"][h][0] for h in hcfg.dpt.hooks], (16, 224, 224),
+    )
+    np.testing.assert_allclose(
+        np.asarray(rays_ours, np.float32), rays_ref.numpy().astype(np.float32),
+        rtol=2e-2, atol=2e-2, err_msg="camray ray map",
+    )
+    pose = np.asarray(out["traj3d_est_b16t"], np.float32)
+    assert pose.shape == ref_out["traj3d_est_b16t"].numpy().shape
+    assert np.isfinite(pose).all()

@@ -88,11 +88,23 @@ def test_track_forward_parity():
         "track_2d_vis_est_bn1t",
         "track_2d_depth_est_bn1t",
         "track_2d_prompt_features_bnc",
-        "track_2d_enc_features_with_track_history_bnpc",
     ]:
         np.testing.assert_allclose(
             np.asarray(out[key]), ref[key].numpy(), rtol=5e-3, atol=5e-3, err_msg=key
         )
+    # we project only the kept (last te/2 tubelet-step) slice of the token
+    # memory — the projection is per-token, so it must equal the same slice
+    # of the reference's full projected memory (sparse_heads.py:388-393)
+    te, he, we = sam_cfg.image_embedding_size
+    ref_hist = ref["track_2d_enc_features_with_track_history_bnpc"].numpy()
+    B_, N_, P_, C_ = ref_hist.shape
+    ref_kept = ref_hist.reshape(B_, N_, te, he * we, C_)[:, :, te // 2 :].reshape(
+        B_, N_, P_ // 2, C_
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["track_2d_enc_history_kept_bnpc"]), ref_kept,
+        rtol=5e-3, atol=5e-3, err_msg="kept token memory",
+    )
 
 
 def test_track_forward_label_variants():
