@@ -32,13 +32,16 @@ def conv3d(
     """x: (B, Cin, D, H, W); w: (Cout, Cin, kD, kH, kW) (torch layout)."""
     s = _triple(stride)
     p = _triple(padding)
+    # no preferred_element_type: the TPU conv accumulates fp32 internally
+    # regardless, and a forced-fp32 output makes the autodiff transpose rule
+    # mix bf16 operands with fp32 cotangents (lax rejects that). fp32 inputs
+    # are unaffected.
     out = lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=s,
         padding=[(pi, pi) for pi in p],
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b[None, :, None, None, None].astype(out.dtype)
@@ -70,7 +73,6 @@ def conv_transpose3d(
         padding=pad,
         lhs_dilation=s,
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b[None, :, None, None, None].astype(out.dtype)

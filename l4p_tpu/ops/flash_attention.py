@@ -35,10 +35,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, block_q: int = 256) -> jnp.ndarray:
-    """q,k,v: (B, H, N, D) -> (B, H, N, D). Softmax in fp32 on-chip."""
+    """q,k,v: (B, H, N, D) -> (B, H, N, D). Softmax in fp32 on-chip.
+
+    Differentiable: the backward pass recomputes attention with XLA ops and
+    uses the standard softmax VJP (flash-style recompute — no (N, N)
+    probabilities are saved from the forward), so training runs with the
+    Pallas kernel on the forward path.
+    """
+    return _flash_attention_impl(q, k, v, scale, block_q)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _flash_attention_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          scale: float, block_q: int = 256) -> jnp.ndarray:
     b, h, n, d = q.shape
     bh = b * h
     qf = q.reshape(bh, n, d)
@@ -60,6 +72,21 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
     )(qf, kf, vf)
     return out.reshape(b, h, n, d)
+
+
+def _flash_fwd(q, k, v, scale, block_q):
+    return _flash_attention_impl(q, k, v, scale, block_q), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, res, g):
+    q, k, v = res
+    from l4p_tpu.ops.attention import mha
+
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 DEFAULT_BLOCK_Q = 256
@@ -90,5 +117,6 @@ def attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
 
     n = q.shape[-2]
     if _on_tpu() and n == k.shape[-2] and n % DEFAULT_BLOCK_Q == 0:
-        return flash_attention(q, k, v, scale, block_q=DEFAULT_BLOCK_Q)
+        # positional args only: jax.custom_vjp functions reject kwargs
+        return flash_attention(q, k, v, scale, DEFAULT_BLOCK_Q)
     return mha(q, k, v, scale)

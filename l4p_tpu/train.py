@@ -57,7 +57,16 @@ def l4p_loss(
     img_info = (rgb.shape[2], rgb.shape[3], rgb.shape[4])
     heads = cfg.head_dict
     hooks = cfg.all_hooks
-    enc = encoder_apply(params["video_encoder"], rgb, cfg.encoder, hooks=hooks, want_final=True)
+    enc_params = params["video_encoder"]
+    if cfg.freeze_video_encoder and not cfg.unfreeze_blocks:
+        # fully-frozen encoder: stop-gradient the encoder PARAMS, exactly
+        # like the reference's requires_grad=False (l4p_videomae.py:203-204)
+        # — the block scan then has no differentiable inputs, so autodiff
+        # skips it entirely: no encoder backward, no stored residuals. (With
+        # unfreeze_blocks the backward must flow, and the optimizer mask
+        # zeroes the frozen slices instead.)
+        enc_params = jax.tree.map(jax.lax.stop_gradient, enc_params)
+    enc = encoder_apply(enc_params, rgb, cfg.encoder, hooks=hooks, want_final=True)
     feat_by_hook = {h: f for h, f in zip(hooks, enc["hooks"])}
 
     losses: Dict[str, jnp.ndarray] = {}
