@@ -96,6 +96,33 @@ def test_all_task_forward_shapes():
     np.testing.assert_allclose(pose[:, 3, 3], 1, atol=1e-5)
 
 
+def test_uint8_ingest_full_forward_matches_float():
+    """l4p_forward(rgb_u8_bthw3) == l4p_forward(rgb_b3thw) on a uint8-exact
+    video, end to end across all tasks (windowing, stitching, tracking)."""
+    from l4p_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 255, (1, 8, 28, 28, 3), np.uint8)
+    x = (u8.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+    data = make_data(T=8, N=5)
+    data_f = dict(data)
+    data_f["rgb_b3thw"] = jnp.asarray(x.transpose(0, 4, 1, 2, 3))
+    data_u = {k: v for k, v in data.items() if k != "rgb_b3thw"}
+    data_u["rgb_u8_bthw3"] = jnp.asarray(u8)
+
+    out_f = l4p_forward(params, cfg, data_f, ALL_TASKS, key=jax.random.PRNGKey(0))
+    out_u = l4p_forward(params, cfg, data_u, ALL_TASKS, key=jax.random.PRNGKey(0))
+    assert set(out_f) == set(out_u)
+    for k in out_f:
+        np.testing.assert_allclose(
+            np.asarray(out_u[k], np.float32), np.asarray(out_f[k], np.float32),
+            rtol=2e-2, atol=2e-2, err_msg=k,
+        )
+
+
 def test_query_chunking_consistency():
     """max_queries chunking must not change results (reference
     sparse_heads.py:181-211)."""
