@@ -297,17 +297,22 @@ def mask_decoder_apply(
     d2, lt, lh, lw = w2.shape[1:]
     k1, k2 = kt * kh * kw, lt * lh * lw
 
-    # deconv1 as one matmul; output (N, P, k1, d1), offset axis packed
+    # deconv1 as one matmul; output (N, P, k1, d1), offset axis packed.
+    # The dots emit the COMPUTE dtype directly (the TPU MXU still
+    # accumulates fp32 internally): typing them fp32 made XLA thread
+    # 1.4 GB fp32 tensors through three layout-change copies per window
+    # (~24 ms measured) between the dot and the LayerNorm. fp32 inputs
+    # (CPU parity tests) are unaffected.
     wm1 = w1.transpose(0, 2, 3, 4, 1).reshape(c, k1 * d1).astype(src.dtype)
-    x = jnp.einsum("npc,ck->npk", src, wm1, preferred_element_type=jnp.float32)
-    x = (x + jnp.tile(b1.astype(jnp.float32), k1)).astype(src.dtype)
+    x = jnp.einsum("npc,ck->npk", src, wm1)
+    x = x + jnp.tile(b1, k1).astype(x.dtype)
     x = x.reshape(n, t * h * w, k1, d1)
     x = layer_norm(x, up["ln"]["weight"], up["ln"]["bias"], eps=1e-6)  # channel dim
     x = gelu(x)
     # deconv2 as one matmul; output grows a second offset axis (N, P, k1, k2, d2)
     wm2 = w2.transpose(0, 2, 3, 4, 1).reshape(d1, k2 * d2).astype(x.dtype)
-    x = jnp.einsum("npkc,cl->npkl", x, wm2, preferred_element_type=jnp.float32)
-    x = gelu((x + jnp.tile(b2.astype(jnp.float32), k2)).astype(src.dtype))
+    x = jnp.einsum("npkc,cl->npkl", x, wm2)
+    x = gelu(x + jnp.tile(b2, k2).astype(x.dtype))
     x = x.reshape(n, t * h * w, k1, k2, d2)
     # hypernet dot contracts channels while still packed -> small logits
     out = jnp.einsum("npkld,nmd->nmpkl", x, hyper_in.astype(x.dtype),
