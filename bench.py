@@ -121,6 +121,7 @@ def main():
     args = ap.parse_args()
 
     last_err = None
+    last_tb = ""
     for attempt in range(args.retries):
         try:
             result = build_and_run(args)
@@ -128,6 +129,9 @@ def main():
             return 0
         except Exception as e:  # noqa: BLE001 — must never print a bare traceback
             last_err = e
+            # capture while the exception is active — outside the except
+            # block format_exc() sees no exception and reports 'NoneType: None'
+            last_tb = traceback.format_exc()
             msg = str(e)
             transient = "UNAVAILABLE" in msg or "backend" in msg.lower()
             if attempt + 1 < args.retries and transient:
@@ -141,7 +145,7 @@ def main():
         "unit": "fps",
         "vs_baseline": 0.0,
         "error": f"{type(last_err).__name__}: {str(last_err)[:400]}",
-        "traceback_tail": traceback.format_exc().splitlines()[-3:],
+        "traceback_tail": last_tb.splitlines()[-3:],
     }))
     return 1
 

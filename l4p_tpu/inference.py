@@ -24,16 +24,21 @@ _FWD_CACHE: Dict[Tuple, object] = {}
 
 def get_forward_fn(cfg, tasks: Sequence[str]):
     """One jitted forward per task set — reused across sequences so repeated
-    shapes don't retrace/recompile."""
+    shapes don't retrace/recompile. The cache value holds a reference to
+    `cfg` so its id can never be recycled by a different config object
+    (id-keyed caches are only safe while the keyed object stays alive)."""
     key = (id(cfg), tuple(tasks))
-    if key not in _FWD_CACHE:
+    hit = _FWD_CACHE.get(key)
+    if hit is None or hit[0] is not cfg:
         from l4p_tpu.models.l4p import l4p_forward
 
         tt = tuple(tasks)
-        _FWD_CACHE[key] = jax.jit(
+        fn = jax.jit(
             lambda p, d: l4p_forward(p, cfg, d, tt, key=jax.random.PRNGKey(0))
         )
-    return _FWD_CACHE[key]
+        _FWD_CACHE[key] = (cfg, fn)
+        return fn
+    return hit[1]
 
 
 def run_sequence(

@@ -100,9 +100,10 @@ def main(argv=None):
 
         data_it = _dataset(args, cfg)
         for i, batch in enumerate(data_it()):
-            seq = str(batch.get("seq_name", f"seq{i}"))
-            if isinstance(seq, (list, tuple)):
-                seq = str(seq[0])
+            seq = batch.get("seq_name", f"seq{i}")
+            if isinstance(seq, (list, tuple)):  # collate wraps per-item strings
+                seq = seq[0]
+            seq = str(seq)
             out = run_sequence(
                 params, cfg, tasks, batch, args.out_dir, seq,
                 dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

@@ -37,6 +37,7 @@ def l4p_loss(
     cfg: L4PConfig,
     batch: Dict[str, jnp.ndarray],
     tasks: Sequence[str],
+    key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Single-window multi-task loss with the reference loss-module contract
     (l4p.py:69-71). Batch keys follow the L4PData schema
@@ -58,7 +59,11 @@ def l4p_loss(
     heads = cfg.head_dict
     hooks = cfg.all_hooks
     enc_params = params["video_encoder"]
-    if cfg.freeze_video_encoder and not cfg.unfreeze_blocks:
+    if cfg.freeze_video_encoder and cfg.unfreeze_blocks is None:
+        # `is None` (not falsy) so that unfreeze_blocks=() matches
+        # trainable_mask and the reference's `is not None` check
+        # (l4p_videomae.py:203-208): an empty tuple still marks the final
+        # norm trainable, so gradients must flow to it.
         # fully-frozen encoder: stop-gradient the encoder PARAMS, exactly
         # like the reference's requires_grad=False (l4p_videomae.py:203-204)
         # — the block scan then has no differentiable inputs, so autodiff
@@ -66,7 +71,13 @@ def l4p_loss(
         # unfreeze_blocks the backward must flow, and the optimizer mask
         # zeroes the frozen slices instead.)
         enc_params = jax.tree.map(jax.lax.stop_gradient, enc_params)
-    enc = encoder_apply(enc_params, rgb, cfg.encoder, hooks=hooks, want_final=True)
+    # stochastic depth fires only when the caller provides a per-step key
+    # (training); eval/no-key is deterministic (reference DropPath semantics)
+    dp_key = key if (key is not None and cfg.encoder.drop_path_rate > 0) else None
+    enc = encoder_apply(
+        enc_params, rgb, cfg.encoder, hooks=hooks, want_final=True,
+        drop_path_key=dp_key,
+    )
     feat_by_hook = {h: f for h, f in zip(hooks, enc["hooks"])}
 
     losses: Dict[str, jnp.ndarray] = {}
@@ -260,11 +271,13 @@ def train_step(
     cfg: L4PConfig,
     tasks: Sequence[str],
     optimizer: optax.GradientTransformation,
+    key: Optional[jax.Array] = None,
 ):
     """One optimization step; jit/pjit this with params sharded via
-    l4p_tpu.parallel.mesh (DP over batch + TP over the encoder)."""
+    l4p_tpu.parallel.mesh (DP over batch + TP over the encoder). `key` feeds
+    stochastic depth when cfg.encoder.drop_path_rate > 0."""
     (loss, loss_dict), grads = jax.value_and_grad(
-        lambda p: l4p_loss(p, cfg, batch, tasks), has_aux=True
+        lambda p: l4p_loss(p, cfg, batch, tasks, key=key), has_aux=True
     )(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

@@ -59,17 +59,17 @@ class Trainer:
         self.model_cfg = model_cfg
         self.tasks = tuple(tasks)
         self.cfg = trainer_cfg
-        self.loss_fn = loss_fn or (lambda p, b: l4p_loss(p, model_cfg, b, self.tasks))
+        if loss_fn is None:
+            self.loss_fn = lambda p, b, k: l4p_loss(p, model_cfg, b, self.tasks, key=k)
+        else:  # user losses keep the reference (params, batch) contract
+            self.loss_fn = lambda p, b, k: loss_fn(p, b)
         self.metrics_fn = metrics_fn
-        # the freeze mask (freeze_video_encoder / unfreeze_blocks /
-        # freeze_heads, reference l4p_videomae.py:199-218) needs the param
-        # tree, so the optimizer is built lazily at first fit/restore
+        # the trainable mask (freeze flags, reference l4p_videomae.py:199-218,
+        # plus the always-frozen sinusoid pos_embed buffer) needs the param
+        # tree, so the optimizer is ALWAYS built lazily at first fit/restore —
+        # building unmasked here would let AdamW weight decay drift the
+        # non-learnable pos_embed even in the no-freeze-flags path
         self.optimizer = None
-        if not (model_cfg.freeze_video_encoder or model_cfg.freeze_heads):
-            self.optimizer = make_optimizer(
-                lr=trainer_cfg.lr, total_steps=trainer_cfg.max_steps,
-                weight_decay=trainer_cfg.weight_decay,
-            )
         os.makedirs(trainer_cfg.out_dir, exist_ok=True)
         self._log_f = open(os.path.join(trainer_cfg.out_dir, "scalars.jsonl"), "a")
         # save the resolved run config (LightningCLI's save_config with
@@ -82,8 +82,10 @@ class Trainer:
             )
 
         @jax.jit
-        def _step(params, opt_state, batch):
-            (loss, loss_dict), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(params, batch)
+        def _step(params, opt_state, batch, key):
+            (loss, loss_dict), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, key
+            )
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, loss_dict
@@ -137,13 +139,16 @@ class Trainer:
             opt_state = self.optimizer.init(params)
         step = start_step
         t0 = time.time()
+        base_key = jax.random.PRNGKey(0)
         for batch in train_iter:
             if step >= self.cfg.max_steps:
                 break
             if do_data_sanity_checks(batch):
                 continue
             batch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
-            params, opt_state, loss, loss_dict = self._step(params, opt_state, batch)
+            params, opt_state, loss, loss_dict = self._step(
+                params, opt_state, batch, jax.random.fold_in(base_key, step)
+            )
             step += 1
             if step % self.cfg.log_every == 0:
                 scalars = {"loss": float(np.asarray(loss))}
