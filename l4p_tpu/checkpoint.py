@@ -32,6 +32,42 @@ def state_dict_to_numpy(state_dict: Mapping) -> Dict[str, np.ndarray]:
     return {k: _np(v) for k, v in state_dict.items()}
 
 
+class TrackedStateDict:
+    """Wraps a state dict to record which keys the converters consumed, so
+    `convert_l4p` can enforce the reference's strict-load contract
+    (load_state_dict strict=True, reference l4p/models/utils.py:52-53):
+    an unexpected layout must error loudly, never degrade silently."""
+
+    def __init__(self, sd: Mapping[str, np.ndarray]):
+        self._sd = sd
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        try:
+            v = self._sd[k]
+        except KeyError:
+            raise KeyError(
+                f"checkpoint is missing key '{k}' required by the model config "
+                "(strict load, reference utils.py:52-53). If this is an "
+                "encoder-only/partial checkpoint use the lenient loader "
+                "(config.load_video_encoder_ckpt), or pass strict=False."
+            ) from None
+        self.consumed.add(k)
+        return v
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def keys(self):
+        return self._sd.keys()
+
+    def unconsumed(self):
+        return sorted(set(self._sd.keys()) - self.consumed)
+
+
 def convert_encoder(sd: Mapping[str, np.ndarray], cfg: EncoderConfig, prefix: str = "", dtype=jnp.float32) -> Dict:
     """Convert VideoMAE encoder weights.
 
@@ -79,6 +115,12 @@ def convert_encoder(sd: Mapping[str, np.ndarray], cfg: EncoderConfig, prefix: st
     }
     if cfg.cos_attn:
         params["blocks"]["attn_scale"] = stack("blocks.{}.attn.scale")
+    if cfg.init_values > 0:
+        # LayerScale gammas exist in the ckpt iff the model was built with
+        # init_values > 0 (modeling_finetune.py:239-243); a config mismatch
+        # surfaces as missing/unconsumed keys under the strict loader
+        params["blocks"]["gamma_1"] = stack("blocks.{}.gamma_1")
+        params["blocks"]["gamma_2"] = stack("blocks.{}.gamma_2")
     if cfg.use_learnable_pos_emb and (prefix + "pos_embed") in sd:
         params["pos_embed"] = jnp.asarray(g("pos_embed")[:, : cfg.num_tokens], dtype)
     if cfg.cam_emb_placed_at is not None:
@@ -138,6 +180,9 @@ def convert_encoder_lenient(
     try_stack("fc2_b", "blocks.{}.mlp.fc2.bias")
     if cfg.cos_attn:
         try_stack("attn_scale", "blocks.{}.attn.scale")
+    if cfg.init_values > 0:
+        try_stack("gamma_1", "blocks.{}.gamma_1")
+        try_stack("gamma_2", "blocks.{}.gamma_2")
     out["blocks"] = blocks
 
     norm = dict(init_params["norm"])
@@ -241,9 +286,18 @@ def convert_dpt(sd: Mapping[str, np.ndarray], cfg: DPTConfig, prefix: str = "", 
         }
         for i in range(4)
     ]
+    layer_rn = [conv(f"dpt.scratch.layer{i + 1}_rn", bias=False) for i in range(4)]
+    # the reference registers these convs twice — layer{i}_rn and a
+    # `scratch.layer_rn` ModuleList alias of the SAME modules
+    # (dpt_block.py:44-85) — so the state_dict carries duplicate keys;
+    # touch the alias names so the strict loader sees them consumed
+    for i in range(4):
+        alias = prefix + f"dpt.scratch.layer_rn.{i}.weight"
+        if alias in sd:
+            sd[alias]
     return {
         "act_postprocess": act,
-        "layer_rn": [conv(f"dpt.scratch.layer{i + 1}_rn", bias=False) for i in range(4)],
+        "layer_rn": layer_rn,
         "refinenet": refinenet,
         "head1": conv("dpt.head1.0"),
         "head2_0": conv("dpt.head2.0"),
@@ -322,4 +376,10 @@ def convert_track_head(sd: Mapping[str, np.ndarray], prefix: str = "", dtype=jnp
     if attend_to_past:
         params["processed_video_mask_token"] = g("processed_video_mask_token.weight")[0]
         params["processed_video_features_proj"] = lin("processed_video_features_proj")
+    # dead SAM leftovers: instantiated but never referenced by the video
+    # forward (reference sam/mask_decoder.py:49, sam/prompt_encoder.py:65) —
+    # present in checkpoints; consume so the strict loader accepts them
+    for dead in ("mask_decoder.iou_token.weight", "prompt_encoder.no_mask_embed.weight"):
+        if (prefix + dead) in sd:
+            sd[prefix + dead]
     return params

@@ -169,15 +169,35 @@ def init_l4p_params(cfg: L4PConfig, key: jax.Array, dtype=jnp.float32, tasks: Op
     }
 
 
-def convert_l4p(state_dict: Mapping, cfg: L4PConfig, dtype=jnp.float32, prefix: str = "l4p_model.") -> Dict:
+def convert_l4p(
+    state_dict: Mapping,
+    cfg: L4PConfig,
+    dtype=jnp.float32,
+    prefix: str = "l4p_model.",
+    strict: bool = True,
+) -> Dict:
     """Convert a released Lightning checkpoint's state_dict to our pytree
-    (key layout per l4p/models/utils.py:52 and the module tree)."""
-    sd = state_dict_to_numpy(state_dict)
+    (key layout per l4p/models/utils.py:52 and the module tree).
+
+    `strict=True` (default, matching the reference's load_state_dict
+    strict=True / `strict_loading` flag, utils.py:52-53 + l4p.py:21) errors
+    on BOTH missing keys (raised with the offending key name) and
+    unconsumed checkpoint keys — e.g. LayerScale `gamma_1/gamma_2` tensors
+    in a checkpoint converted against an init_values=0 config would
+    otherwise be dropped silently and produce wrong outputs."""
+    from l4p_tpu.checkpoint import TrackedStateDict
+
+    sd = TrackedStateDict(state_dict_to_numpy(state_dict))
     heads: Dict[str, Dict] = {}
     for name, hcfg in cfg.heads:
         hp = f"{prefix}task_heads.{name}.task_head."
         if any(k.startswith(hp) for k in sd):
             heads[name] = convert_dpt(sd, hcfg.dpt, prefix=hp, dtype=dtype)
+        elif strict:
+            raise KeyError(
+                f"checkpoint has no keys for configured head '{name}' "
+                f"(prefix '{hp}'); pass strict=False to skip absent heads"
+            )
     tp = f"{prefix}task_heads.track_2d."
     if any(k.startswith(tp) for k in sd):
         heads["track_2d"] = convert_track_head(
@@ -188,10 +208,22 @@ def convert_l4p(state_dict: Mapping, cfg: L4PConfig, dtype=jnp.float32, prefix: 
             prompt_using_features=cfg.track.prompt_using_features,
             attend_to_past=cfg.track.attend_to_past,
         )
-    return {
+    params = {
         "video_encoder": convert_encoder(sd, cfg.encoder, prefix=f"{prefix}video_encoder.", dtype=dtype),
         "task_heads": heads,
     }
+    if strict:
+        leftover = sd.unconsumed()
+        if leftover:
+            shown = ", ".join(leftover[:8]) + (" ..." if len(leftover) > 8 else "")
+            raise ValueError(
+                f"{len(leftover)} checkpoint key(s) were not consumed by the "
+                f"conversion (strict load, reference utils.py:52-53): {shown}. "
+                "This usually means a config/checkpoint mismatch (e.g. "
+                "LayerScale gammas with init_values=0, cos-attn scale, or an "
+                "extra head). Fix the config or pass strict=False."
+            )
+    return params
 
 
 def prepare_model(

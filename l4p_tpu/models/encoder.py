@@ -47,6 +47,14 @@ class EncoderConfig:
     ln_eps: float = 1e-6
     cos_attn: bool = False  # cosine attention variant (modeling_finetune.py:72-134)
     use_learnable_pos_emb: bool = False  # (modeling_pretrain.py:73-77)
+    # LayerScale: gamma_1/gamma_2 residual-branch gains of `init_values`
+    # (reference modeling_finetune.py:239-243; the `init_values > 0` check
+    # means the released 0.0 config has NO gammas — matching that exactly)
+    init_values: float = 0.0
+    # stochastic depth: per-block drop rates linearly spaced 0..rate
+    # (reference modeling_pretrain.py:87-89); active only when a
+    # `drop_path_key` is passed to encoder_apply (training)
+    drop_path_rate: float = 0.0
     # Pallas flash-attention kernel on TPU (XLA mha elsewhere, e.g. the CPU
     # test mesh). Verified on a real v5e chip (scripts/verify_flash_tpu.py):
     # bf16 max |err| 1.8e-3 vs an fp32 highest-precision reference, 1.3x the
@@ -136,6 +144,9 @@ def init_encoder_params(cfg: EncoderConfig, key: jax.Array, dtype=jnp.float32) -
     }
     if cfg.cos_attn:
         params["blocks"]["attn_scale"] = jnp.log(10.0) * jnp.ones((d, cfg.num_heads, 1, 1), dtype)
+    if cfg.init_values > 0:
+        params["blocks"]["gamma_1"] = cfg.init_values * jnp.ones((d, e), dtype)
+        params["blocks"]["gamma_2"] = cfg.init_values * jnp.ones((d, e), dtype)
     if cfg.cam_emb_placed_at is not None:
         in_dim = 6 + (e if cfg.cam_emb_type == "concat" else 0)
         a = float(np.sqrt(1.0 / in_dim))
@@ -171,11 +182,22 @@ def _attention(q, k, v, scale: float, cfg: EncoderConfig):
     return mha(q, k, v, scale)
 
 
-def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig) -> jnp.ndarray:
-    """One pre-LN transformer block (reference modeling_finetune.py:245-252,
-    gamma disabled per released init_values=0.0, see :239-243). With
-    cfg.cos_attn, uses cosine-similarity attention with a learnable clamped
-    log scale (modeling_finetune.py:109-134)."""
+def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Stochastic depth on a residual branch: per-sample Bernoulli keep with
+    1/keep rescale (reference timm drop_path semantics, stubbed identically in
+    tests/oracle.py:26-33). `rate` may be a traced scalar (scan slice)."""
+    keep = (1.0 - rate).astype(jnp.float32)
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * (mask.astype(jnp.float32) / keep).astype(x.dtype)
+
+
+def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig, dp=None) -> jnp.ndarray:
+    """One pre-LN transformer block (reference modeling_finetune.py:245-252):
+    x + drop_path(gamma_1 * attn(ln(x))), x + drop_path(gamma_2 * mlp(ln(x))).
+    gamma_1/gamma_2 exist only when init_values > 0 (:239-243 — the released
+    0.0 config has none); `dp=(rate, key)` enables stochastic depth (training
+    only). With cfg.cos_attn, uses cosine-similarity attention with a
+    learnable clamped log scale (modeling_finetune.py:109-134)."""
     B, N, E = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
@@ -197,13 +219,23 @@ def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig) -> jnp.ndarray:
         attn_out = _attention(qkv[0], qkv[1], qkv[2], hd ** -0.5, cfg)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, E)
     proj = jnp.einsum("bne,fe->bnf", attn_out, p["proj_w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    x = x + (proj + p["proj_b"].astype(jnp.float32)).astype(x.dtype)
+    branch = (proj + p["proj_b"].astype(jnp.float32)).astype(x.dtype)
+    if "gamma_1" in p:
+        branch = branch * p["gamma_1"].astype(x.dtype)
+    if dp is not None:
+        branch = _drop_path(branch, dp[0], jax.random.fold_in(dp[1], 0))
+    x = x + branch
 
     h = layer_norm(x, p["norm2_w"], p["norm2_b"], cfg.ln_eps)
     h1 = jnp.einsum("bne,fe->bnf", h, p["fc1_w"].astype(h.dtype), preferred_element_type=jnp.float32)
     h1 = gelu((h1 + p["fc1_b"].astype(jnp.float32)).astype(x.dtype))
     h2 = jnp.einsum("bnf,ef->bne", h1, p["fc2_w"].astype(h1.dtype), preferred_element_type=jnp.float32)
-    x = x + (h2 + p["fc2_b"].astype(jnp.float32)).astype(x.dtype)
+    branch = (h2 + p["fc2_b"].astype(jnp.float32)).astype(x.dtype)
+    if "gamma_2" in p:
+        branch = branch * p["gamma_2"].astype(x.dtype)
+    if dp is not None:
+        branch = _drop_path(branch, dp[0], jax.random.fold_in(dp[1], 1))
+    x = x + branch
     return x
 
 
@@ -251,6 +283,7 @@ def encoder_apply(
     intrinsics_b44t: Optional[jnp.ndarray] = None,
     extrinsics_b44t: Optional[jnp.ndarray] = None,
     tokens_bne: Optional[jnp.ndarray] = None,
+    drop_path_key: Optional[jax.Array] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the encoder, returning only what the heads consume.
 
@@ -290,21 +323,36 @@ def encoder_apply(
     if 0 in hooks:
         feats[0] = x
 
-    block_fn = jax.checkpoint(functools.partial(_block, cfg=cfg)) if cfg.remat_blocks else (
-        lambda x_, p_: _block(x_, p_, cfg)
-    )
+    raw_block = lambda x_, p_, dp_=None: _block(x_, p_, cfg, dp_)
+    block_fn = jax.checkpoint(raw_block) if cfg.remat_blocks else raw_block
 
-    def scan_segment(x, blocks_slice):
-        def body(carry, p):
-            return block_fn(carry, p), None
+    # stochastic depth (training only): per-block rates linearly spaced
+    # 0..drop_path_rate (reference modeling_pretrain.py:87-89), one PRNG key
+    # per block, threaded through the scan as extra xs
+    dp_active = drop_path_key is not None and cfg.drop_path_rate > 0
+    if dp_active:
+        dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        dp_keys = jax.random.split(drop_path_key, cfg.depth)
 
-        out, _ = lax.scan(body, x, blocks_slice)
+    def scan_segment(x, lo, hi):
+        blocks_slice = _slice_blocks(params["blocks"], lo, hi)
+        if dp_active:
+            def body(carry, xs):
+                p, r, k = xs
+                return block_fn(carry, p, (r, k)), None
+
+            out, _ = lax.scan(body, x, (blocks_slice, dp_rates[lo:hi], dp_keys[lo:hi]))
+        else:
+            def body(carry, p):
+                return block_fn(carry, p), None
+
+            out, _ = lax.scan(body, x, blocks_slice)
         return out
 
     prev = 0
     for b in boundaries:
         if b > prev:
-            x = scan_segment(x, _slice_blocks(params["blocks"], prev, b))
+            x = scan_segment(x, prev, b)
         if b in hooks:
             feats[b] = x
         prev = b

@@ -40,7 +40,7 @@ def make_ref_encoder(cfg: EncoderConfig, seed=0):
         mlp_ratio=cfg.mlp_ratio,
         qkv_bias=True,
         norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6),
-        init_values=0.0,
+        init_values=cfg.init_values,
         tubelet_size=cfg.tubelet_size,
         all_frames=cfg.all_frames,
     )
@@ -75,6 +75,30 @@ def test_encoder_small_parity():
     # final = head(norm(x_last)) with head=Identity; reference overwrites
     # features_list[-1] (l4p_videomae.py:115)
     np.testing.assert_allclose(np.asarray(out["final"]), feats_ref[-1].numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_encoder_layerscale_parity():
+    """init_values > 0 enables LayerScale gamma_1/gamma_2 on both sides
+    (reference modeling_finetune.py:239-252); outputs must match."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, init_values=0.05)
+    enc = make_ref_encoder(cfg, seed=3)
+    # confirm the reference actually built gammas (guards the > 0 semantics)
+    assert enc.blocks[0].gamma_1 is not None
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 3, cfg.all_frames, cfg.img_size, cfg.img_size)).astype(np.float32)
+    with torch.no_grad():
+        feats_ref = enc(torch.from_numpy(x))
+    params = convert_encoder(state_dict_to_numpy(enc.state_dict()), cfg)
+    assert params["blocks"]["gamma_1"].shape == (cfg.depth, cfg.embed_dim)
+    out = encoder_apply(params, jnp.asarray(x), cfg, hooks=[3, 6], want_final=True)
+    np.testing.assert_allclose(
+        np.asarray(out["hooks"][0]), feats_ref[3].numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["final"]), feats_ref[-1].numpy(), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_init_params_shapes():
