@@ -157,6 +157,17 @@ def encode_windows(
     the embarrassingly parallel multi-chip inference path (windows have no
     cross-dependence until stitching).
     """
+    if mesh is not None and cfg.encoder.use_flash_attention:
+        # A pallas_call has no registered GSPMD partitioning rule: under the
+        # window-sharded vmap below, XLA may insert a full re-gather around
+        # the kernel (or fail on real multi-chip hardware) instead of running
+        # it per-shard. XLA attention partitions cleanly, so under a mesh we
+        # fall back to `mha` until the kernel is shard_map-wrapped and
+        # verified on real multi-chip hardware (single-chip never hits this:
+        # mesh is None on the bench/demo path).
+        cfg = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, use_flash_attention=False)
+        )
     if rgb_u8_bthw3 is not None:
         b, t, h, w = rgb_u8_bthw3.shape[:4]
     else:

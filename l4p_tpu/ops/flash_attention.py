@@ -111,12 +111,27 @@ def _on_tpu() -> bool:
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _single_device() -> bool:
+    """True when exactly one accelerator is visible. pallas_call has no
+    registered GSPMD partitioning rule, so on a multi-chip host a jit over
+    sharded operands (TP params or a window-sharded batch) could force a
+    full re-gather around the kernel or fail outright; the XLA `mha`
+    partitions cleanly. Until the kernel is shard_map-wrapped and verified
+    on real multi-chip hardware, flash is single-device only (the
+    bench/demo path — this session's hardware — is single-chip)."""
+    try:
+        return len(jax.devices()) == 1
+    except Exception:
+        return False
+
+
 def attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Pallas kernel on TPU; XLA fallback elsewhere (tests on CPU)."""
     from l4p_tpu.ops.attention import mha
 
     n = q.shape[-2]
-    if _on_tpu() and n == k.shape[-2] and n % DEFAULT_BLOCK_Q == 0:
+    if _on_tpu() and _single_device() and n == k.shape[-2] and n % DEFAULT_BLOCK_Q == 0:
         # positional args only: jax.custom_vjp functions reject kwargs
         return flash_attention(q, k, v, scale, DEFAULT_BLOCK_Q)
     return mha(q, k, v, scale)
