@@ -123,3 +123,105 @@ def test_camray_windowed_fixed_intrinsics_parity():
     pose_true = (e[0][None] @ np.linalg.inv(e)).transpose(1, 2, 0)  # (4,4,T)
     ours44 = ours_pose.reshape(4, 4, T_TOTAL)
     np.testing.assert_allclose(ours44[:3, :3], pose_true[:3, :3], atol=0.05)
+
+
+def test_camray_windowed_variable_intrinsics_parity():
+    """Variable-K mode (reference dense_heads.py:336-344: per-(b,t) cv2
+    homography+RQ + Kabsch in a Python loop) vs our batched DLT+QR path,
+    through the full windowed stitch."""
+    rays_w, k_data, ext = make_trajectory_rays()
+    k_px = k_data.copy()
+    k_px[:, 0] *= 224
+    k_px[:, 1] *= 224
+    k_px[:, :2, 2] -= 0.5
+
+    ref_head = VideoMAETraj3DDPTHead(
+        task_name="traj3d", hooks_idx=[1, 2, 3, 4], use_intrinsics=False,
+        fixed_intrinsics=False, output_size=(WS, H_RAYS, H_RAYS),
+    )
+    ref_head.task_head = _FixedRaysDPT(rays_w)
+    ref_head.eval()
+    dummy_feats = [[torch.zeros(1, 1, 1)] * 5 for _ in range(NW)]
+    strides = torch.arange(0, T_TOTAL - WS + 1, STRIDE)
+    with torch.no_grad():
+        ref_out = ref_head.forward_windowed(
+            enc_features_bpc_2dlist=dummy_feats, img_info=IMG, time_strides=strides,
+            intrinsics_b44t=torch.from_numpy(k_px.copy()),
+        )
+
+    hcfg = DenseHeadConfig(
+        task_name="traj3d", kind="camray", out_nchan=6,
+        dpt=DPTConfig(num_channels=6, output_size=(WS, H_RAYS, H_RAYS)),
+        use_intrinsics=False, fixed_intrinsics=False,
+    )
+    pose_w, intr_w = camray_windows_to_cameras(
+        jnp.asarray(rays_w), hcfg, IMG, jnp.asarray(k_px), STRIDE, jax.random.PRNGKey(0)
+    )
+    ours_pose = np.asarray(stitch_overwrite(pose_w, STRIDE, T_TOTAL))
+    ref_pose = ref_out["traj3d_est_b16t"].numpy()
+    # per-frame K solves are independently RANSAC'd on both sides; noiseless
+    # rays must recover near-identical cameras
+    np.testing.assert_allclose(ours_pose, ref_pose, rtol=0.05, atol=0.05)
+
+    # ground-truth: per-frame estimated K must be close to the true K
+    ours_k = np.asarray(stitch_overwrite(intr_w, STRIDE, T_TOTAL)).reshape(1, 4, 4, T_TOTAL)
+    np.testing.assert_allclose(ours_k[:, 0, 0], k_px[:, 0, 0], rtol=0.05)
+    np.testing.assert_allclose(ours_k[:, 1, 1], k_px[:, 1, 1], rtol=0.05)
+
+
+def test_camera_rays_head_parity():
+    """VideoMAECameraDPTHead (dense_heads.py:220-254): raw 6-ch ray output —
+    a DPT trunk with the coarse camray factors and NO camera conversion —
+    through forward and the overwrite windowed stitch."""
+    from l4p.models.task_heads.dense_heads import VideoMAECameraDPTHead
+    from tests.test_dpt import make_ref_dpt
+    from l4p_tpu.checkpoint import convert_dpt, state_dict_to_numpy
+    from l4p_tpu.models.l4p import dense_head_raw
+
+    dpt_cfg = DPTConfig(
+        num_channels=6, hooks=(1, 2, 3, 4), dim_tokens=64,
+        layer_dims=(8, 8, 16, 16), feature_dim=8, last_dim=8,
+        actpost_scale_factors=((1, 0, 0), (1, 0, 0), (0, 0, 0), (-1, -1, -1)),
+        fusion_scale_factors=((1, 1, 1), (1, 1, 1), (2, 1, 1), (2, 2, 2)),
+        output_size=(WS, 2, 2),
+    )
+    trunk = make_ref_dpt(dpt_cfg, seed=7)
+    # the camera head is exactly {task}_est_b6thw: task_head(feats) with no
+    # activation (dense_heads.py:245-254); graft the tiny trunk onto the
+    # real head class so its forward/forward_windowed run unmodified
+    ref_head = VideoMAECameraDPTHead.__new__(VideoMAECameraDPTHead)
+    torch.nn.Module.__init__(ref_head)
+    ref_head.task_name = "camera"
+    ref_head.out_nchan = 6
+    ref_head.hooks_idx = [1, 2, 3, 4]
+    ref_head.output_size = (WS, 2, 2)
+    ref_head.overlap_aligner_type = None
+    ref_head.aligner_kwargs = {}
+    ref_head.task_suffix = "b6thw"
+    ref_head.task_head = trunk
+    ref_head.eval()
+
+    rng = np.random.default_rng(7)
+    img = (WS, 28, 28)
+    n_tok = (WS // 2) * 2 * 2
+    feats_w = [
+        [torch.from_numpy(rng.standard_normal((1, n_tok, 64)).astype(np.float32)) for _ in range(5)]
+        for _ in range(NW)
+    ]
+    strides = torch.arange(0, T_TOTAL - WS + 1, STRIDE)
+    k_dummy = torch.zeros(1, 4, 4, T_TOTAL)
+    with torch.no_grad():
+        ref_out = ref_head.forward_windowed(
+            enc_features_bpc_2dlist=feats_w, img_info=img, time_strides=strides,
+            intrinsics_b44t=k_dummy,
+        )["camera_est_b6thw"].numpy()
+
+    params = convert_dpt(state_dict_to_numpy(trunk.state_dict()), dpt_cfg, prefix="")
+    hcfg = DenseHeadConfig(
+        task_name="camera", kind="camera_rays", out_nchan=6, dpt=dpt_cfg)
+    ours_w = []
+    for w in range(NW):
+        f = [jnp.asarray(feats_w[w][h].numpy()) for h in (1, 2, 3, 4)]
+        ours_w.append(dense_head_raw(params, hcfg, f, img))
+    ours = np.asarray(stitch_overwrite(jnp.stack(ours_w), STRIDE, T_TOTAL))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
