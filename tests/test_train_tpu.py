@@ -14,6 +14,18 @@ import jax.numpy as jnp
 from l4p_tpu.ops.attention import mha
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # backend init can fail off-hardware
+        return False
+
+
+# skip (not fail) when a `-m` override pulls the tpu lane onto CPU: the
+# Pallas kernel only compiles on real hardware
+pytestmark = pytest.mark.skipif(not _on_tpu(), reason="requires a real TPU device")
+
+
 @pytest.mark.tpu
 def test_flash_attention_grad_matches_mha():
     """The Pallas kernel's custom VJP (XLA-math backward) must produce the
