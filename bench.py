@@ -110,8 +110,11 @@ def build_and_run(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=48, help="video length (multiple of 8)")
-    ap.add_argument("--queries", type=int, default=64, help="tracking queries")
+    # defaults are the REFERENCE operating point: 192-frame max video length
+    # (reference video_dataset.py:23) and 128 tracking queries (the memory
+    # governor default, demo/demo.py:24-25; 64 only under limit_gpu_mem_usage)
+    ap.add_argument("--frames", type=int, default=192, help="video length (multiple of 8)")
+    ap.add_argument("--queries", type=int, default=128, help="tracking queries")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tasks", type=str, default="flow_2d_backward,track_2d,depth,dyn_mask,camray")
     ap.add_argument("--retries", type=int, default=3, help="backend-init retries with backoff")

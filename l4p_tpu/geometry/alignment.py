@@ -146,9 +146,21 @@ def sim3_ransac(
     scaled by the 98th depth percentile). Returns (T_44, s, inliers)."""
     n = src_n3.shape[0]
     # distinct points per minimal sample (skimage samples without
-    # replacement; duplicates waste hypothesis budget on rank-deficient fits)
-    trial_keys = jax.random.split(key, num_trials)
-    idx = jax.vmap(lambda k: jax.random.choice(k, n, (min_samples,), replace=False))(trial_keys)
+    # replacement; duplicates waste hypothesis budget on rank-deficient
+    # fits). One permutation chopped into disjoint minimal samples instead
+    # of a per-trial choice(replace=False): the latter lowers to a full
+    # n-element sort PER TRIAL (128 sorts of ~15k points per window
+    # transition); a chopped permutation is 1 sort and statistically still a
+    # uniform without-replacement draw per trial.
+    need = num_trials * min_samples
+    n_perms = -(-need // n)  # python ceil: shapes are static under jit
+    if n_perms == 1:
+        flat = jax.random.permutation(key, n)
+    else:
+        flat = jnp.concatenate(
+            [jax.random.permutation(k, n) for k in jax.random.split(key, n_perms)]
+        )
+    idx = flat[:need].reshape(num_trials, min_samples)
     tfs, _ = jax.vmap(lambda i: umeyama_sim3(src_n3[i], dst_n3[i]))(idx)
     res = jax.vmap(_sim3_residuals, in_axes=(0, None, None))(tfs, src_n3, dst_n3)  # (T,N)
     inl = res < residual_threshold

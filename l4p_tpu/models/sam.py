@@ -297,26 +297,27 @@ def mask_decoder_apply(
     d2, lt, lh, lw = w2.shape[1:]
     k1, k2 = kt * kh * kw, lt * lh * lw
 
-    # deconv1 as one matmul; output (N, P, k1, d1), offset axis packed.
-    # The dots emit the COMPUTE dtype directly (the TPU MXU still
-    # accumulates fp32 internally): typing them fp32 made XLA thread
-    # 1.4 GB fp32 tensors through three layout-change copies per window
-    # (~24 ms measured) between the dot and the LayerNorm. fp32 inputs
-    # (CPU parity tests) are unaffected.
-    wm1 = w1.transpose(0, 2, 3, 4, 1).reshape(c, k1 * d1).astype(src.dtype)
-    x = jnp.einsum("npc,ck->npk", src, wm1)
-    x = x + jnp.tile(b1, k1).astype(x.dtype)
-    x = x.reshape(n, t * h * w, k1, d1)
-    x = layer_norm(x, up["ln"]["weight"], up["ln"]["bias"], eps=1e-6)  # channel dim
-    x = gelu(x)
-    # deconv2 as one matmul; output grows a second offset axis (N, P, k1, k2, d2)
-    wm2 = w2.transpose(0, 2, 3, 4, 1).reshape(d1, k2 * d2).astype(x.dtype)
-    x = jnp.einsum("npkc,cl->npkl", x, wm2)
-    x = gelu(x + jnp.tile(b2, k2).astype(x.dtype))
-    x = x.reshape(n, t * h * w, k1, k2, d2)
-    # hypernet dot contracts channels while still packed -> small logits
-    out = jnp.einsum("npkld,nmd->nmpkl", x, hyper_in.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
+    from l4p_tpu.ops.fused_upscale import (
+        _upscale_xla,
+        fused_upscale_available,
+        fused_upscale_hypernet,
+    )
+
+    if fused_upscale_available(src, w1):
+        # single Pallas kernel: the whole deconv1 -> LN -> gelu -> deconv2 ->
+        # gelu -> hypernet chain stays in VMEM per token tile, skipping the
+        # ~4.4 GB/window of HBM round-trips the XLA chain pays for its
+        # (N, P, k1*d1) / (N, P, k1, k2*d2) intermediates (ops/fused_upscale)
+        out = fused_upscale_hypernet(
+            src, w1, b1, up["ln"]["weight"], up["ln"]["bias"], w2, b2, hyper_in
+        )
+    else:
+        # XLA path (CPU tests, sharded meshes): deconv1 as one matmul with
+        # the offset axis packed; the dots emit the COMPUTE dtype directly
+        # (the TPU MXU still accumulates fp32 internally): typing them fp32
+        # made XLA thread 1.4 GB fp32 tensors through three layout-change
+        # copies per window (~24 ms measured). fp32 inputs are unaffected.
+        out = _upscale_xla(src, w1, b1, up["ln"]["weight"], up["ln"]["bias"], w2, b2, hyper_in)
     # unpack offsets: T' = lt*(kt*t + dt) + et, H' = lh*(kh*h + dh) + eh, ...
     m = cfg.num_mask_tokens
     out = out.reshape(n, m, t, h, w, kt, kh, kw, lt, lh, lw)
