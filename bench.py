@@ -26,12 +26,9 @@ import traceback
 import numpy as np
 
 
-def build_and_run(args):
+def _measure_point(args, frames, queries, params_cache={}):
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", ".cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import dataclasses
 
@@ -40,12 +37,14 @@ def build_and_run(args):
 
     cfg, _ = load_model_config("configs/model.yaml")
     cfg = dataclasses.replace(
-        cfg, track=dataclasses.replace(cfg.track, max_queries=args.queries)
+        cfg, track=dataclasses.replace(cfg.track, max_queries=queries)
     )
     tasks = tuple(args.tasks.split(","))
-    params = init_l4p_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    if "params" not in params_cache:
+        params_cache["params"] = init_l4p_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    params = params_cache["params"]
 
-    t = args.frames
+    t = frames
     rng = np.random.default_rng(0)
     k = np.tile(np.diag([224.0, 224.0, 1, 1]).astype(np.float32)[None, :, :, None], (1, 1, 1, t))
     k[:, 0, 2] = 112.0
@@ -62,7 +61,7 @@ def build_and_run(args):
     else:
         data["rgb_b3thw"] = jnp.asarray(rng.standard_normal((1, 3, t, 224, 224)), jnp.bfloat16)
     if "track_2d" in tasks:
-        n = args.queries
+        n = queries
         q = np.stack(
             [np.zeros(n) + 0.5, rng.uniform(4, 220, n), rng.uniform(4, 220, n)], -1
         ).astype(np.float32)
@@ -94,7 +93,7 @@ def build_and_run(args):
 
     fps = t / dt
     return {
-        "metric": f"all_task_fps_per_chip_{t}f_{args.queries}q",
+        "metric": f"all_task_fps_per_chip_{t}f_{queries}q",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
@@ -106,6 +105,28 @@ def build_and_run(args):
             "device": str(jax.devices()[0]),
         },
     }
+
+
+def build_and_run(args):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    # headline = the reference operating point (args defaults: 192f/128q);
+    # the 48f/64q point rides along in detail for round-over-round comparison
+    result = _measure_point(args, args.frames, args.queries)
+    if (args.frames, args.queries) != (48, 64):
+        try:
+            sec = _measure_point(args, 48, 64)
+            result["detail"]["secondary"] = {
+                "metric": sec["metric"],
+                "value": sec["value"],
+                "seconds_per_video": sec["detail"]["seconds_per_video"],
+            }
+        except Exception as e:  # noqa: BLE001 — secondary point must not kill the headline
+            result["detail"]["secondary"] = {"error": str(e)[:200]}
+    return result
 
 
 def main():

@@ -30,8 +30,11 @@ def main():
     ap.add_argument("--config", default="configs/model.yaml")
     ap.add_argument("--ckpt", default=None, help="released .ckpt (converted on load)")
     ap.add_argument("--video", nargs="*", default=None)
-    ap.add_argument("--davis-root", default=None)
-    ap.add_argument("--dycheck-root", default=None)
+    # dataset-root presets (reference demo/demo.py:53,88,219 hardcodes its
+    # roots via demo/paths.py; here the presets are env vars so the same
+    # command works across machines): L4P_DAVIS_ROOT / L4P_DYCHECK_ROOT
+    ap.add_argument("--davis-root", default=os.environ.get("L4P_DAVIS_ROOT"))
+    ap.add_argument("--dycheck-root", default=os.environ.get("L4P_DYCHECK_ROOT"))
     ap.add_argument("--seq", nargs="*", default=None, help="filter sequence names")
     ap.add_argument("--out-dir", default="out")
     ap.add_argument("--max-queries", type=int, default=128)

@@ -213,6 +213,150 @@ def _proj_q_with_pe(p: Dict, x: jnp.ndarray, pe: jnp.ndarray) -> jnp.ndarray:
     return out + linear(pe, p["weight"], None).astype(out.dtype)
 
 
+# ---------------------------------------------------------------------------
+# factored cross-attention — the image side through the token bottleneck
+#
+# The two-way transformer has ~6 tokens against (N, P, C) per-query image
+# embeddings (P=2048, C=1408; each query carries its OWN image embedding via
+# the attend_to_past memory, so N is a true batch axis). The reference
+# (transformer.py:190-245) projects the image side to D=C/2 for every
+# cross-attention: O(N*P*C*D) = ~520 GFLOP per projection per window at
+# N=128. But every projection touching the image tensor is immediately
+# contracted against the ~6-token side, so it reassociates EXACTLY through
+# the token bottleneck:
+#
+#   t2i logits:  q @ ((K+pe) @ Wk^T)^T  ==  ((q*scale) @ Wk) @ K^T + (...)@pe^T
+#   t2i output:  attn @ (K @ Wv^T)      ==  (attn @ K) @ Wv^T
+#   i2t logits:  ((K+pe) @ Wq^T + bq) @ k^T  ==  K @ (Wq^T k^T) + pe @ (...) + bq@k^T
+#   i2t output:  concat_h(attn_h @ v_h) @ Wo^T  ==  sum_h attn_h @ (v_h @ Wo_h^T)
+#
+# so the (N, P, C) tensor only ever enters rank-Q matmuls: O(N*P*C*Q*heads)
+# ~ 35 GFLOP — ~14x fewer FLOPs, identical math (bf16 reassociation only).
+# Pure XLA einsums: runs on CPU, under GSPMD meshes, and differentiates
+# natively (no custom VJP needed).
+# ---------------------------------------------------------------------------
+
+
+def _t2i_factored(
+    p: Dict,
+    queries: jnp.ndarray,  # (N, Q, C) tokens
+    keys: jnp.ndarray,  # (N, P, C) image
+    query_pe: jnp.ndarray,  # (N, Q, C)
+    pe_pc: jnp.ndarray,  # (P, C) raw image PE (query-broadcast)
+    num_heads: int,
+) -> jnp.ndarray:
+    """Token->image cross-attention, image side factored (see above).
+    The k-projection bias is constant over P, hence softmax-invariant and
+    omitted exactly; the v bias rides through because softmax rows sum to 1."""
+    q = _proj_q_with_pe(p["q_proj"], queries, query_pe)  # (N, Q, D)
+    n, nq, d = q.shape
+    hd = d // num_heads
+    c = keys.shape[-1]
+    scale = hd ** -0.5
+    qh = q.reshape(n, nq, num_heads, hd).transpose(0, 2, 1, 3) * scale  # (N,h,Q,dh)
+    wk = p["k_proj"]["weight"].reshape(num_heads, hd, c)
+    wv = p["v_proj"]["weight"].reshape(num_heads, hd, c)
+
+    s = jnp.einsum(
+        "nhqd,hdc->nhqc", qh, wk.astype(qh.dtype), preferred_element_type=jnp.float32
+    ).astype(qh.dtype)
+    logits = jnp.einsum("nhqc,npc->nhqp", s, keys, preferred_element_type=jnp.float32)
+    logits = logits + jnp.einsum(
+        "nhqc,pc->nhqp", s, pe_pc.astype(s.dtype), preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(logits, axis=-1).astype(qh.dtype)  # (N,h,Q,P)
+    wsum = jnp.einsum("nhqp,npc->nhqc", attn, keys, preferred_element_type=jnp.float32).astype(
+        qh.dtype
+    )
+    outh = jnp.einsum(
+        "nhqc,hdc->nhqd", wsum, wv.astype(wsum.dtype), preferred_element_type=jnp.float32
+    )
+    outh = outh + p["v_proj"]["bias"].reshape(num_heads, 1, hd).astype(jnp.float32)
+    out = outh.astype(qh.dtype).transpose(0, 2, 1, 3).reshape(n, nq, d)
+    return linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
+
+
+def _i2t_factored(
+    p: Dict,
+    keys: jnp.ndarray,  # (N, P, C) image (the attention's queries)
+    queries: jnp.ndarray,  # (N, Q, C) tokens (the attention's keys/values)
+    query_pe: jnp.ndarray,  # (N, Q, C)
+    pe_pc: jnp.ndarray,  # (P, C)
+    num_heads: int,
+) -> jnp.ndarray:
+    """Image->token cross-attention, image side factored (see above).
+    Returns the pre-LayerNorm residual update `keys + attn_out`. The
+    q-projection bias varies over tokens (the softmax axis) and IS included,
+    as `bq @ k^T` broadcast over P."""
+    n, np_, c = keys.shape
+    k_tok = _proj_q_with_pe(p["k_proj"], queries, query_pe)  # (N, Q, D)
+    v_tok = linear(queries, p["v_proj"]["weight"], p["v_proj"]["bias"])
+    nq, d = k_tok.shape[1], k_tok.shape[-1]
+    hd = d // num_heads
+    scale = hd ** -0.5
+    kh = k_tok.reshape(n, nq, num_heads, hd).transpose(0, 2, 1, 3) * scale  # (N,h,Q,dh)
+    vh = v_tok.reshape(n, nq, num_heads, hd).transpose(0, 2, 1, 3)
+    wq = p["q_proj"]["weight"].reshape(num_heads, hd, c)
+    bq = p["q_proj"]["bias"].reshape(num_heads, hd)
+
+    r = jnp.einsum(
+        "hdc,nhqd->nhcq", wq.astype(kh.dtype), kh, preferred_element_type=jnp.float32
+    ).astype(kh.dtype)
+    logits = jnp.einsum("npc,nhcq->nhpq", keys, r, preferred_element_type=jnp.float32)
+    logits = logits + jnp.einsum(
+        "pc,nhcq->nhpq", pe_pc.astype(r.dtype), r, preferred_element_type=jnp.float32
+    )
+    bterm = jnp.einsum(
+        "hd,nhqd->nhq", bq.astype(jnp.float32), kh.astype(jnp.float32)
+    )
+    logits = logits + bterm[:, :, None, :]
+    attn = jax.nn.softmax(logits, axis=-1).astype(kh.dtype)  # (N,h,P,Q)
+
+    wo_h = p["out_proj"]["weight"].reshape(c, num_heads, hd).transpose(1, 2, 0)  # (h,dh,C)
+    v2 = jnp.einsum(
+        "nhqd,hdc->nhqc", vh, wo_h.astype(vh.dtype), preferred_element_type=jnp.float32
+    ).astype(vh.dtype)
+    out = jnp.einsum("nhpq,nhqc->npc", attn, v2, preferred_element_type=jnp.float32)
+    out = out + p["out_proj"]["bias"].astype(jnp.float32)
+    return keys + out.astype(keys.dtype)
+
+
+def _twoway_block_factored(
+    p: Dict,
+    cfg: SamConfig,
+    queries: jnp.ndarray,
+    keys: jnp.ndarray,
+    query_pe: jnp.ndarray,
+    pe_pc: jnp.ndarray,
+    skip_first_layer_pe: bool,
+):
+    """TwoWayAttentionBlock with both image-side cross-attentions factored
+    through the token bottleneck. Same math as _twoway_block."""
+    nh = cfg.num_heads
+    eps = 1e-5
+    if skip_first_layer_pe:
+        queries = _attn_apply(p["self_attn"], queries, queries, queries, nh)
+    else:
+        queries = queries + _attn_apply(
+            p["self_attn"], queries, queries, queries, nh, q_pe=query_pe, k_pe=query_pe
+        )
+    queries = layer_norm(queries, p["norm1"]["weight"], p["norm1"]["bias"], eps)
+
+    queries = queries + _t2i_factored(
+        p["cross_attn_token_to_image"], queries, keys, query_pe, pe_pc, nh
+    )
+    queries = layer_norm(queries, p["norm2"]["weight"], p["norm2"]["bias"], eps)
+
+    h = linear(queries, p["mlp"]["lin1"]["weight"], p["mlp"]["lin1"]["bias"])
+    h = jax.nn.relu(h)
+    h = linear(h, p["mlp"]["lin2"]["weight"], p["mlp"]["lin2"]["bias"])
+    queries = layer_norm(queries + h, p["norm3"]["weight"], p["norm3"]["bias"], eps)
+
+    keys = _i2t_factored(p["cross_attn_image_to_token"], keys, queries, query_pe, pe_pc, nh)
+    keys = layer_norm(keys, p["norm4"]["weight"], p["norm4"]["bias"], eps)
+    return queries, keys
+
+
 def _twoway_block_fused(
     p: Dict,
     cfg: SamConfig,
@@ -273,20 +417,43 @@ def twoway_transformer_apply(
     point_embedding: jnp.ndarray,  # (N, Q, C)
     force_fused: Optional[bool] = None,
     interpret: bool = False,
+    impl: Optional[str] = None,
 ):
     """(transformer.py:67-111). Returns (queries (N,Q,C), keys (N,P,C)).
 
-    On a single TPU device the image-side passes run as fused Pallas kernels
-    (ops/fused_twoway.py) — one keys read per cross-attention instead of
-    ~4.3 GB/layer of projection/LN round-trips; CPU tests and sharded meshes
-    take the XLA path (`force_fused` pins a branch for parity tests)."""
-    from l4p_tpu.ops.fused_twoway import fused_twoway_available
-
+    `impl` selects the image-side strategy:
+    * 'factored' (default): every image-side projection reassociated through
+      the ~6-token bottleneck (see _t2i_factored) — ~14x fewer FLOPs than
+      projecting the (N, P, C) keys, pure XLA, runs everywhere;
+    * 'fused': Pallas kernels (ops/fused_twoway.py) that project the keys in
+      VMEM tiles (single-TPU only) — kept for comparison, superseded by
+      'factored' on the chip;
+    * 'naive': the direct transcription with full image-side projections —
+      the parity oracle for the other two.
+    `force_fused` (True->'fused', False->'naive') is the legacy test knob."""
     queries = point_embedding
     keys = image_embedding
-    use_fused = fused_twoway_available(keys) if force_fused is None else force_fused
-    if use_fused and image_pe.shape[0] in (1, keys.shape[0]):
+    if impl is None:
+        if force_fused is True:
+            impl = "fused"
+        elif force_fused is False:
+            impl = "naive"
+        else:
+            impl = "factored" if image_pe.shape[0] == 1 else "naive"
+
+    if impl == "factored":
         pe_pc = image_pe[0]  # query-broadcast by construction
+        for i, layer in enumerate(params["layers"]):
+            queries, keys = _twoway_block_factored(
+                layer, cfg, queries, keys, point_embedding, pe_pc,
+                skip_first_layer_pe=(i == 0),
+            )
+        attn_out = _t2i_factored(
+            params["final_attn_token_to_image"], queries, keys, point_embedding, pe_pc,
+            cfg.num_heads,
+        )
+    elif impl == "fused":
+        pe_pc = image_pe[0]
         for i, layer in enumerate(params["layers"]):
             queries, keys = _twoway_block_fused(
                 layer, cfg, queries, keys, point_embedding, pe_pc,

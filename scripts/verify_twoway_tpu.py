@@ -89,9 +89,9 @@ def main():
     ref_k = np.asarray(ref_k, np.float32)
 
     res = {}
-    for fused in (False, True):
+    for impl in ("naive", "fused", "factored"):
         fn = jax.jit(
-            lambda tw_, i_, p_, t_, f=fused: twoway_transformer_apply(tw_, sam, i_, p_, t_, force_fused=f)
+            lambda tw_, i_, p_, t_, im=impl: twoway_transformer_apply(tw_, sam, i_, p_, t_, impl=im)
         )
         t0 = time.time()
         q_, k_ = with_retry(fn, tw, img, pos, tok)
@@ -99,22 +99,23 @@ def main():
         build_s = time.time() - t0
         qn = np.asarray(q_, np.float32)
         kn = np.asarray(k_, np.float32)
-        res["fused" if fused else "xla"] = (qn, kn)
+        res[impl] = (qn, kn)
         dq = float(np.max(np.abs(qn[:nr] - ref_q)))
         dk = float(np.max(np.abs(kn[:nr] - ref_k)))
         dt = time_fn(fn, tw, img, pos, tok, iters=10)
         print(json.dumps({
-            "path": "fused" if fused else "xla",
+            "path": impl,
             "ms": round(dt * 1e3, 2),
             "max_err_queries_vs_fp32": round(dq, 5),
             "max_err_keys_vs_fp32": round(dk, 5),
             "first_call_s": round(build_s, 1),
         }), flush=True)
 
-    dq = float(np.max(np.abs(res["fused"][0] - res["xla"][0])))
-    dk = float(np.max(np.abs(res["fused"][1] - res["xla"][1])))
-    print(json.dumps({"fused_vs_xla_bf16_max_err": {"queries": round(dq, 5),
-                                                   "keys": round(dk, 5)}}), flush=True)
+    for a, b in (("fused", "naive"), ("factored", "naive")):
+        dq = float(np.max(np.abs(res[a][0] - res[b][0])))
+        dk = float(np.max(np.abs(res[a][1] - res[b][1])))
+        print(json.dumps({f"{a}_vs_{b}_bf16_max_err": {"queries": round(dq, 5),
+                                                       "keys": round(dk, 5)}}), flush=True)
 
 
 if __name__ == "__main__":
