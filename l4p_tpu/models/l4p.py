@@ -132,6 +132,16 @@ class L4PConfig:
 # encoding
 # ---------------------------------------------------------------------------
 
+def _map_batch(nw: int, pref: int) -> int:
+    """Largest lax.map batch_size <= pref that DIVIDES nw.
+
+    A non-dividing batch_size makes lax.map compile its body twice (the main
+    chunk plus a remainder body) — for the 40-block encoder scan that doubles
+    the dominant compile cost for nothing (window-chunk sizes measured within
+    2% runtime of each other on the chip, ROUND_NOTES round 3)."""
+    return max(d for d in range(1, min(pref, nw) + 1) if nw % d == 0)
+
+
 def encode_windows(
     enc_params: Dict,
     cfg: L4PConfig,
@@ -237,7 +247,7 @@ def encode_windows(
         inputs = tuple(jax.lax.with_sharding_constraint(x, spec) for x in inputs)
         res = jax.vmap(lambda *xs: enc_one(xs))(*inputs)
     else:
-        res = jax.lax.map(enc_one, inputs, batch_size=min(cfg.enc_window_chunk, nw))
+        res = jax.lax.map(enc_one, inputs, batch_size=_map_batch(nw, cfg.enc_window_chunk))
     return {"hooks": {h: f for h, f in zip(hooks, res["hooks"])}, "final": res["final"]}
 
 
@@ -489,7 +499,7 @@ def l4p_forward(
             spec = NamedSharding(mesh, P("data"))
             feats_s = [jax.lax.with_sharding_constraint(f, spec) for f in feats]
             return jax.vmap(lambda *fs: one(list(fs)))(*feats_s)
-        return jax.lax.map(one, feats, batch_size=min(cfg.dense_window_chunk, nw))
+        return jax.lax.map(one, feats, batch_size=_map_batch(nw, cfg.dense_window_chunk))
 
     joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
 
