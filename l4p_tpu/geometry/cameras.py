@@ -102,11 +102,15 @@ def homography_dlt(src: jnp.ndarray, dst: jnp.ndarray, w: Optional[jnp.ndarray] 
     row1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
     row2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
     a = jnp.concatenate([row1, row2], axis=0) * jnp.sqrt(jnp.concatenate([w, w]))[:, None]
-    # nullspace via smallest right singular vector; full_matrices=True is
-    # required for minimal 4-point systems (A is 8x9 — the reduced SVD's vh
-    # is 8x9 and would omit the nullspace row entirely)
-    _, _, vh = jnp.linalg.svd(a.astype(jnp.float32), full_matrices=True)
-    h_n = vh[-1].reshape(3, 3)
+    # nullspace = eigenvector of A^T A (9x9) with the smallest eigenvalue —
+    # identical to the smallest right singular vector of A, but a fixed 9x9
+    # symmetric eigh instead of a (2N, 2N) full-matrices SVD (the refine
+    # passes run at N = the full ray grid; the SVD's U factor there is
+    # 512x512 of pure waste). Hartley normalization keeps A^T A
+    # well-conditioned, so squaring the condition number is harmless in fp32.
+    ata = a.T.astype(jnp.float32) @ a.astype(jnp.float32)
+    _, vecs = jnp.linalg.eigh(ata)
+    h_n = vecs[:, 0].reshape(3, 3)
     h = jnp.linalg.inv(t_d) @ h_n @ t_s
     return h / h[2, 2]
 
@@ -143,8 +147,18 @@ def find_homography_ransac(
     n = src.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
-    trial_keys = jax.random.split(key, num_trials)
-    idx = jax.vmap(lambda k: jax.random.choice(k, n, (4,), replace=False))(trial_keys)
+    # distinct points per minimal sample via chopped permutations (same
+    # rationale as sim3_ransac, alignment.py:148-163: per-trial
+    # choice(replace=False) lowers to one full n-element sort PER TRIAL)
+    need = num_trials * 4
+    n_perms = -(-need // n)  # python ceil: shapes are static under jit
+    if n_perms == 1:
+        flat = jax.random.permutation(key, n)
+    else:
+        flat = jnp.concatenate(
+            [jax.random.permutation(k, n) for k in jax.random.split(key, n_perms)]
+        )
+    idx = flat[:need].reshape(num_trials, 4)
     hs = jax.vmap(lambda i: homography_dlt(src[i], dst[i]))(idx)  # (T,3,3)
     errs = jax.vmap(_homography_transfer_err2, in_axes=(0, None, None))(hs, src, dst)  # (T,N)
     errs = jnp.where(valid[None, :], errs, jnp.inf)

@@ -487,6 +487,8 @@ def l4p_forward(
     out: Dict[str, jnp.ndarray] = {}
 
     def run_dense(task: str) -> jnp.ndarray:
+        if task in _dense_cache:
+            return _dense_cache[task]
         hcfg = heads[task]
         feats = [enc["hooks"][h_] for h_ in hcfg.dpt.hooks]  # each (nw, B, P, C)
 
@@ -502,6 +504,60 @@ def l4p_forward(
         return jax.lax.map(one, feats, batch_size=_map_batch(nw, cfg.dense_window_chunk))
 
     joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
+
+    # The flow/depth/dyn_mask DPT trunks are structurally identical (only
+    # the final 1x1 conv's out-channels differ: 2/1/1). Compiling one body
+    # per head tripled the dominant compile cost (~12 s each on the CPU
+    # proxy); instead the heads' params are stacked (final conv zero-padded
+    # to the widest channel count) and ONE body runs under an outer lax.map
+    # over the head axis. Hook features are closed over (not tiled), so no
+    # extra HBM traffic. Skipped under a mesh (per-task vmap path handles
+    # sharding) and for single-head calls (no win).
+    _dense_cache: Dict[str, jnp.ndarray] = {}
+    stackable = [
+        t for t in tasks
+        if t in heads and heads[t].kind in ("flow", "depth", "dyn_mask")
+    ]
+    stackable = [
+        t for t in stackable
+        if heads[t].dpt == dataclasses.replace(
+            heads[stackable[0]].dpt, num_channels=heads[t].dpt.num_channels
+        )
+    ]
+    if mesh is None and len(stackable) >= 2:
+        hcfgs = [heads[t] for t in stackable]
+        maxc = max(h.out_nchan for h in hcfgs)
+
+        def padded(task_name: str, c: int) -> Dict:
+            p = dict(params["task_heads"][task_name])
+            if c < maxc:
+                w, bbias = p["head2_2"]["weight"], p["head2_2"]["bias"]
+                w = jnp.concatenate([w, jnp.zeros((maxc - c,) + w.shape[1:], w.dtype)], 0)
+                bbias = jnp.concatenate([bbias, jnp.zeros((maxc - c,), bbias.dtype)], 0)
+                p["head2_2"] = {"weight": w, "bias": bbias}
+            return p
+
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[padded(t, h.out_nchan) for t, h in zip(stackable, hcfgs)],
+        )
+        feats0 = [enc["hooks"][h_] for h_ in hcfgs[0].dpt.hooks]
+        dcfg = dataclasses.replace(hcfgs[0].dpt, num_channels=maxc)
+
+        def per_head(ph):
+            def one(fw):
+                return dpt_apply(ph, fw, dcfg, img_info)
+
+            return jax.lax.map(one, feats0, batch_size=_map_batch(nw, cfg.dense_window_chunk))
+
+        outs = jax.lax.map(per_head, stacked)  # (H, nw, B, maxc, ws, h, w)
+        for i, (t, hc) in enumerate(zip(stackable, hcfgs)):
+            raw = outs[i][:, :, : hc.out_nchan]
+            if hc.kind == "depth":
+                raw = apply_fn(raw, hc.depth_fn)
+            elif hc.kind == "dyn_mask":
+                raw = raw.at[:, :, 0].set(apply_fn(raw[:, :, 0], hc.mask_fn))
+            _dense_cache[t] = raw
 
     def run_track_forward(enc_final, queries, labels) -> Dict[str, jnp.ndarray]:
         """Forward-direction chunked tracking from precomputed features.

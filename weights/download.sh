@@ -5,8 +5,15 @@ set -euo pipefail
 cd "$(dirname "$0")"
 
 CKPT=l4p_depth_flow_2d3dtrack_camray_dynseg_v1.ckpt
+FILE_ID=1jN3VHBeDoYWZHFMT7VXV2tVmfadR7WgI
 if [ ! -f "$CKPT" ]; then
-    gdown 1jN3VHBeDoYWZHFMT7VXV2tVmfadR7WgI -O "$CKPT"
+    if command -v gdown >/dev/null 2>&1; then
+        gdown "$FILE_ID" -O "$CKPT"
+    else
+        # gdown is not installed in this image; Drive's usercontent endpoint
+        # with confirm=t skips the large-file interstitial for curl
+        curl -fL "https://drive.usercontent.google.com/download?id=${FILE_ID}&export=download&confirm=t" -o "$CKPT"
+    fi
 fi
 
 python - <<'PY'
