@@ -126,7 +126,10 @@ def main():
         unattributed_ms=round((t_all - t_enc - sum_marg) * 1e3, 2))
 
     # -- isolated hot sub-blocks (for the roofline table)
-    rays = jnp.asarray(rng.standard_normal((nw, 1, 6, ws, 224, 224)), jnp.float32)
+    # the camray head emits rays at its configured output_size (16x16 grid,
+    # reference dense_heads.py:269-270) — NOT at image resolution
+    r_t, r_h, r_w = cfg.head_dict["camray"].dpt.output_size
+    rays = jnp.asarray(rng.standard_normal((nw, 1, 6, r_t, r_h, r_w)), jnp.float32)
     cam_fn = jax.jit(
         lambda r, d: camray_windows_to_cameras(
             r, cfg.head_dict["camray"], (ws, 224, 224), d["intrinsics_b44t"], stride,
