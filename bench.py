@@ -114,9 +114,37 @@ def build_and_run(args):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     # headline = the reference operating point (args defaults: 192f/128q);
-    # the 48f/64q point rides along in detail for round-over-round comparison
-    result = _measure_point(args, args.frames, args.queries)
-    if (args.frames, args.queries) != (48, 64):
+    # the 48f/64q point rides along in detail for round-over-round comparison.
+    # If the headline point itself fails (e.g. RESOURCE_EXHAUSTED — the
+    # 192f/128q graph peaks ~13 GB of 16 GB HBM on the CPU-proxy memory
+    # analysis), degrade through known-good points (192f/64q and 48f/128q
+    # both ran on hardware in round 2) instead of reporting 0 fps.
+    points = [(args.frames, args.queries), (args.frames, 64), (48, 128), (48, 64)]
+    seen = set()
+    result = None
+    headline_err = None
+    for fr, qn in points:
+        if (fr, qn) in seen:
+            continue
+        seen.add((fr, qn))
+        try:
+            result = _measure_point(args, fr, qn)
+            if (fr, qn) != (args.frames, args.queries):
+                result["detail"]["fallback_from"] = {
+                    "frames": args.frames, "queries": args.queries,
+                    "error": str(headline_err)[:200],
+                }
+            break
+        except Exception as e:  # noqa: BLE001 — degrade, don't zero the bench
+            if headline_err is None:
+                headline_err = e
+            msg = str(e)
+            # transient backend errors should bubble to the retry loop
+            if "UNAVAILABLE" in msg or "backend" in msg.lower():
+                raise
+    if result is None:
+        raise headline_err
+    if result["detail"]["frames"] != 48 or "48f_64q" not in result["metric"]:
         try:
             sec = _measure_point(args, 48, 64)
             result["detail"]["secondary"] = {
