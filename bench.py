@@ -33,7 +33,6 @@ def _measure_point(args, frames, queries, params_cache={}):
     import dataclasses
 
     from l4p_tpu.config import init_l4p_params, load_model_config
-    from l4p_tpu.models.l4p import l4p_forward
 
     cfg, _ = load_model_config("configs/model.yaml")
     cfg = dataclasses.replace(
@@ -70,7 +69,13 @@ def _measure_point(args, frames, queries, params_cache={}):
 
     # jit returns the FULL output dict: reducing to a scalar inside jit would
     # let XLA dead-code-eliminate whole heads and fake the number.
-    fwd = jax.jit(lambda p, d: l4p_forward(p, cfg, d, tasks, key=jax.random.PRNGKey(0)))
+    # get_forward_fn uses the split-jit InferenceSession for the production
+    # task set (separate XLA modules per stage: materially faster cold
+    # compile, outputs verified identical to the monolith in
+    # tests/test_inference.py) and falls back to one jit otherwise.
+    from l4p_tpu.inference import get_forward_fn
+
+    fwd = get_forward_fn(cfg, tasks)
 
     def run_once():
         out = fwd(params, data)

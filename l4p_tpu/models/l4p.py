@@ -445,6 +445,120 @@ def stitch_joint_depth_camray(
 
 
 # ---------------------------------------------------------------------------
+# forward stages (shared by the monolithic l4p_forward and the split-jit
+# InferenceSession in l4p_tpu/inference.py)
+# ---------------------------------------------------------------------------
+
+def run_dense_heads_stacked(
+    head_params: Dict,
+    cfg: "L4PConfig",
+    enc_hooks: Dict[int, jnp.ndarray],
+    tasks: Sequence[str],
+    img_info: Tuple[int, int, int],
+) -> Dict[str, jnp.ndarray]:
+    """Run the structurally-identical dense heads as ONE compiled body.
+
+    The flow/depth/dyn_mask DPT trunks differ only in the final 1x1 conv's
+    out-channels (2/1/1). Compiling one body per head tripled the dominant
+    compile cost (~12 s each on the CPU proxy); instead the heads' params
+    are stacked (final conv zero-padded to the widest channel count) and ONE
+    body runs under an outer lax.map over the head axis. Hook features are
+    closed over (not tiled), so no extra HBM traffic.
+
+    Returns {task: (nw, B, C, ws, H, W) activated output} for the stackable
+    subset of `tasks`; empty when fewer than two heads stack.
+    """
+    heads = cfg.head_dict
+    stackable = [
+        t for t in tasks if t in heads and heads[t].kind in ("flow", "depth", "dyn_mask")
+    ]
+    stackable = [
+        t for t in stackable
+        if heads[t].dpt == dataclasses.replace(
+            heads[stackable[0]].dpt, num_channels=heads[t].dpt.num_channels
+        )
+    ]
+    if len(stackable) < 2:
+        return {}
+    hcfgs = [heads[t] for t in stackable]
+    maxc = max(h.out_nchan for h in hcfgs)
+    nw = enc_hooks[hcfgs[0].dpt.hooks[0]].shape[0]
+
+    def padded(task_name: str, c: int) -> Dict:
+        p = dict(head_params[task_name])
+        if c < maxc:
+            w, bbias = p["head2_2"]["weight"], p["head2_2"]["bias"]
+            w = jnp.concatenate([w, jnp.zeros((maxc - c,) + w.shape[1:], w.dtype)], 0)
+            bbias = jnp.concatenate([bbias, jnp.zeros((maxc - c,), bbias.dtype)], 0)
+            p["head2_2"] = {"weight": w, "bias": bbias}
+        return p
+
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[padded(t, h.out_nchan) for t, h in zip(stackable, hcfgs)],
+    )
+    feats0 = [enc_hooks[h_] for h_ in hcfgs[0].dpt.hooks]
+    dcfg = dataclasses.replace(hcfgs[0].dpt, num_channels=maxc)
+
+    def per_head(ph):
+        def one(fw):
+            return dpt_apply(ph, fw, dcfg, img_info)
+
+        return jax.lax.map(one, feats0, batch_size=_map_batch(nw, cfg.dense_window_chunk))
+
+    outs = jax.lax.map(per_head, stacked)  # (H, nw, B, maxc, ws, h, w)
+    result: Dict[str, jnp.ndarray] = {}
+    for i, (t, hc) in enumerate(zip(stackable, hcfgs)):
+        raw = outs[i][:, :, : hc.out_nchan]
+        if hc.kind == "depth":
+            raw = apply_fn(raw, hc.depth_fn)
+        elif hc.kind == "dyn_mask":
+            raw = raw.at[:, :, 0].set(apply_fn(raw[:, :, 0], hc.mask_fn))
+        result[t] = raw
+    return result
+
+
+def run_track_chunked(
+    track_params: Dict,
+    tcfg: TrackConfig,
+    enc_final: jnp.ndarray,
+    queries: jnp.ndarray,
+    labels: jnp.ndarray,
+    stride: int,
+) -> Dict[str, jnp.ndarray]:
+    """Forward-direction chunked tracking from precomputed features.
+
+    Queries are processed `max_queries` at a time (the reference's memory
+    governor, sparse_heads.py:181-211) — but as ONE traced chunk body via
+    lax.map over padded chunk groups, not an unrolled Python loop: grid
+    sampling can produce thousands of queries (e.g. 2500 on DAVIS) and an
+    unrolled graph would take hours to compile."""
+    n = queries.shape[1]
+    chunk = min(tcfg.max_queries, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        # padded queries get label 0 (the reference's own
+        # invalid-query semantics); their outputs are sliced off
+        queries = jnp.concatenate([queries, jnp.zeros((queries.shape[0], pad, 3), queries.dtype)], 1)
+        labels = jnp.concatenate([labels, jnp.zeros((labels.shape[0], pad), labels.dtype)], 1)
+    b_dim = queries.shape[0]
+    q_c = queries.reshape(b_dim, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+    l_c = labels.reshape(b_dim, n_chunks, chunk).transpose(1, 0, 2)
+
+    def one(args):
+        q, l = args
+        return track_forward_windowed(track_params, tcfg, enc_final, q, l, stride)
+
+    o = jax.lax.map(one, (q_c, l_c))  # dict of (n_chunks, B, chunk, ...)
+    out_t = {}
+    for k, v in o.items():
+        merged = jnp.moveaxis(v, 0, 1).reshape((b_dim, n_chunks * chunk) + v.shape[3:])
+        out_t[k] = merged[:, :n]
+    return out_t
+
+
+# ---------------------------------------------------------------------------
 # full forward
 # ---------------------------------------------------------------------------
 
@@ -485,6 +599,7 @@ def l4p_forward(
     )
 
     out: Dict[str, jnp.ndarray] = {}
+    _dense_cache: Dict[str, jnp.ndarray] = {}  # filled by the stacked body below
 
     def run_dense(task: str) -> jnp.ndarray:
         if task in _dense_cache:
@@ -505,94 +620,15 @@ def l4p_forward(
 
     joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
 
-    # The flow/depth/dyn_mask DPT trunks are structurally identical (only
-    # the final 1x1 conv's out-channels differ: 2/1/1). Compiling one body
-    # per head tripled the dominant compile cost (~12 s each on the CPU
-    # proxy); instead the heads' params are stacked (final conv zero-padded
-    # to the widest channel count) and ONE body runs under an outer lax.map
-    # over the head axis. Hook features are closed over (not tiled), so no
-    # extra HBM traffic. Skipped under a mesh (per-task vmap path handles
-    # sharding) and for single-head calls (no win).
-    _dense_cache: Dict[str, jnp.ndarray] = {}
-    stackable = [
-        t for t in tasks
-        if t in heads and heads[t].kind in ("flow", "depth", "dyn_mask")
-    ]
-    stackable = [
-        t for t in stackable
-        if heads[t].dpt == dataclasses.replace(
-            heads[stackable[0]].dpt, num_channels=heads[t].dpt.num_channels
+    if mesh is None:
+        _dense_cache.update(
+            run_dense_heads_stacked(params["task_heads"], cfg, enc["hooks"], tasks, img_info)
         )
-    ]
-    if mesh is None and len(stackable) >= 2:
-        hcfgs = [heads[t] for t in stackable]
-        maxc = max(h.out_nchan for h in hcfgs)
-
-        def padded(task_name: str, c: int) -> Dict:
-            p = dict(params["task_heads"][task_name])
-            if c < maxc:
-                w, bbias = p["head2_2"]["weight"], p["head2_2"]["bias"]
-                w = jnp.concatenate([w, jnp.zeros((maxc - c,) + w.shape[1:], w.dtype)], 0)
-                bbias = jnp.concatenate([bbias, jnp.zeros((maxc - c,), bbias.dtype)], 0)
-                p["head2_2"] = {"weight": w, "bias": bbias}
-            return p
-
-        stacked = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[padded(t, h.out_nchan) for t, h in zip(stackable, hcfgs)],
-        )
-        feats0 = [enc["hooks"][h_] for h_ in hcfgs[0].dpt.hooks]
-        dcfg = dataclasses.replace(hcfgs[0].dpt, num_channels=maxc)
-
-        def per_head(ph):
-            def one(fw):
-                return dpt_apply(ph, fw, dcfg, img_info)
-
-            return jax.lax.map(one, feats0, batch_size=_map_batch(nw, cfg.dense_window_chunk))
-
-        outs = jax.lax.map(per_head, stacked)  # (H, nw, B, maxc, ws, h, w)
-        for i, (t, hc) in enumerate(zip(stackable, hcfgs)):
-            raw = outs[i][:, :, : hc.out_nchan]
-            if hc.kind == "depth":
-                raw = apply_fn(raw, hc.depth_fn)
-            elif hc.kind == "dyn_mask":
-                raw = raw.at[:, :, 0].set(apply_fn(raw[:, :, 0], hc.mask_fn))
-            _dense_cache[t] = raw
 
     def run_track_forward(enc_final, queries, labels) -> Dict[str, jnp.ndarray]:
-        """Forward-direction chunked tracking from precomputed features.
-
-        Queries are processed `max_queries` at a time (the reference's memory
-        governor, sparse_heads.py:181-211) — but as ONE traced chunk body via
-        lax.map over padded chunk groups, not an unrolled Python loop: grid
-        sampling can produce thousands of queries (e.g. 2500 on DAVIS) and an
-        unrolled graph would take hours to compile."""
-        tcfg = cfg.track
-        n = queries.shape[1]
-        chunk = min(tcfg.max_queries, n)
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
-        if pad:
-            # padded queries get label 0 (the reference's own
-            # invalid-query semantics); their outputs are sliced off
-            queries = jnp.concatenate([queries, jnp.zeros((queries.shape[0], pad, 3), queries.dtype)], 1)
-            labels = jnp.concatenate([labels, jnp.zeros((labels.shape[0], pad), labels.dtype)], 1)
-        b_dim = queries.shape[0]
-        q_c = queries.reshape(b_dim, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
-        l_c = labels.reshape(b_dim, n_chunks, chunk).transpose(1, 0, 2)
-
-        def one(args):
-            q, l = args
-            return track_forward_windowed(
-                params["task_heads"]["track_2d"], tcfg, enc_final, q, l, stride
-            )
-
-        o = jax.lax.map(one, (q_c, l_c))  # dict of (n_chunks, B, chunk, ...)
-        out_t = {}
-        for k, v in o.items():
-            merged = jnp.moveaxis(v, 0, 1).reshape((b_dim, n_chunks * chunk) + v.shape[3:])
-            out_t[k] = merged[:, :n]
-        return out_t
+        return run_track_chunked(
+            params["task_heads"]["track_2d"], cfg.track, enc_final, queries, labels, stride
+        )
 
     for task in tasks:
         if task == "track_2d":

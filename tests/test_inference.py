@@ -31,3 +31,37 @@ def test_run_sequence_writes_artifacts(tmp_path):
     plys = [p for p in os.listdir(seq_dir) if p.endswith(".ply")]
     assert len(plys) >= 3  # point clouds + cameras + 3D tracks
     assert "depth_est_b1thw" in out and "traj3d_est_b16t" in out
+
+
+def test_split_session_matches_monolith():
+    """The split-jit InferenceSession must produce the SAME outputs as the
+    monolithic l4p_forward — same stage functions, same PRNG folds; only the
+    jit boundaries differ (compile-time optimization, VERDICT r2 item 9)."""
+    from l4p_tpu.inference import InferenceSession
+    from l4p_tpu.models.l4p import l4p_forward
+
+    cfg = tiny_cfg()
+    assert InferenceSession.supported(cfg, TASKS)
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = make_data(T=8, N=5)
+
+    mono = l4p_forward(params, cfg, data, TASKS, key=jax.random.PRNGKey(0))
+    sess = InferenceSession(cfg, TASKS)
+    split = sess(params, data)
+
+    assert set(mono) == set(split)
+    for k in mono:
+        np.testing.assert_allclose(
+            np.asarray(split[k], np.float32), np.asarray(mono[k], np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=f"{k} differs between split and monolith",
+        )
+
+
+def test_split_session_unsupported_falls_back():
+    from l4p_tpu.inference import InferenceSession, get_forward_fn
+
+    cfg = tiny_cfg()
+    # single stackable head -> unsupported -> monolithic jit fallback
+    assert not InferenceSession.supported(cfg, ("depth", "camray"))
+    fn = get_forward_fn(cfg, ("depth", "camray"))
+    assert not isinstance(fn, InferenceSession)
