@@ -143,16 +143,24 @@ class InferenceSession:
 
     def __call__(self, params, data: Dict) -> Dict:
         enc = self._enc(params["video_encoder"], data)
-        dense = self._dense(params["task_heads"], enc["hooks"])
+        hooks, final = enc["hooks"], enc["final"]
+        dense = self._dense(params["task_heads"], hooks)
         pose_w = intr_w = None
         if "camray" in self.tasks:
-            rays = self._camray_rays(params["task_heads"], enc["hooks"])
+            rays = self._camray_rays(params["task_heads"], hooks)
             pose_w, intr_w = self._camray_solve(rays, data.get("intrinsics_b44t"))
+        # drop the hook pyramid before the track stage dispatches: the track
+        # scan is the peak-memory stage (~9.7 GB temps at 128 queries on the
+        # 192f memory analysis) and only needs `final`; freeing the 5-level
+        # pyramid (~0.75 GB at 192f) once dense/camray complete gives the
+        # allocator headroom on the 16 GB chip
+        del hooks, enc
         out = dict(self._stitch(dense, pose_w, intr_w))
+        del dense
         if "track_2d" in self.tasks:
             out.update(
                 self._track(
-                    params["task_heads"]["track_2d"], enc["final"],
+                    params["task_heads"]["track_2d"], final,
                     data["track_2d_pointquerries_bn3"], data["track_2d_pointlabels_bn"],
                 )
             )
