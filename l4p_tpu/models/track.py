@@ -217,11 +217,21 @@ def track_forward_item(
     # (N, 2t, 4h, 4w) -> (N, T, H, W), align_corners=False
     # (sparse_heads.py:645-647)
     # lerp method: elementwise resize fuses into the softargmax's softmax
-    # loop (~3x faster on TPU than the matmul resize, which can't fuse)
-    xy_logits = interpolate_trilinear(
-        logits[:, tid["xy"]], cfg.image_size, align_corners=False, method="lerp"
-    )
-    out["traj_nt2"] = softargmax_xy(xy_logits, cfg.image_size[1:])  # (N, T, 2)
+    # loop (~3x faster on TPU than the matmul resize, which can't fuse).
+    # Chunked over queries: the full-res heatmap is the PEAK allocation of
+    # the whole forward (at N=128/window, (N,16,224,224) fp32 + softmax
+    # temps ≈ 9.7 GB of the track stage's memory analysis); per-query
+    # results are independent, so a lax.map over query chunks is bitwise
+    # identical at ~1/4 the working set. Chunk snapped to a divisor of N
+    # (a remainder would compile the body twice).
+    def _xy_chunk(lg):  # one query's (t2, h2, w2); lax.map vmaps chunks of it
+        xl = interpolate_trilinear(lg[None], cfg.image_size, align_corners=False, method="lerp")
+        return softargmax_xy(xl, cfg.image_size[1:])[0]
+
+    xy_chunk = max(d for d in range(1, min(32, n) + 1) if n % d == 0)
+    out["traj_nt2"] = jax.lax.map(
+        _xy_chunk, logits[:, tid["xy"]], batch_size=xy_chunk
+    )  # (N, T, 2)
 
     # vis/depth only need the spatial MEAN of the upsampled logits — a mean
     # over a linear resize is exactly a weighted mean of the low-res map
