@@ -65,3 +65,25 @@ def test_split_session_unsupported_falls_back():
     assert not InferenceSession.supported(cfg, ("depth", "camray"))
     fn = get_forward_fn(cfg, ("depth", "camray"))
     assert not isinstance(fn, InferenceSession)
+
+
+def test_split_session_non_joint_subset():
+    """Dense-only task set: no camray stage, depth stitches via the
+    disparity-affine chain (non-joint branch)."""
+    from l4p_tpu.inference import InferenceSession
+    from l4p_tpu.models.l4p import l4p_forward
+
+    tasks = ("depth", "dyn_mask", "flow_2d_backward")
+    cfg = tiny_cfg()
+    assert InferenceSession.supported(cfg, tasks)
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = make_data(T=8, with_tracks=False)
+
+    mono = l4p_forward(params, cfg, data, tasks, key=jax.random.PRNGKey(0))
+    split = InferenceSession(cfg, tasks)(params, data)
+    assert set(mono) == set(split)
+    for k in mono:
+        np.testing.assert_allclose(
+            np.asarray(split[k], np.float32), np.asarray(mono[k], np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
