@@ -125,8 +125,12 @@ def build_and_run(args):
     # analysis), degrade through known-good points (192f/64q and 48f/128q
     # both ran on hardware in round 2) instead of reporting 0 fps.
     points = [(args.frames, args.queries), (args.frames, 64), (48, 128), (48, 64)]
+    # never escalate past the requested point: a user who sized the run down
+    # should not pay a multi-minute compile for a BIGGER graph on fallback
+    points = [p for p in points if p[0] <= args.frames and p[1] <= args.queries]
     seen = set()
     result = None
+    measured = None
     headline_err = None
     for fr, qn in points:
         if (fr, qn) in seen:
@@ -134,6 +138,7 @@ def build_and_run(args):
         seen.add((fr, qn))
         try:
             result = _measure_point(args, fr, qn)
+            measured = (fr, qn)
             if (fr, qn) != (args.frames, args.queries):
                 result["detail"]["fallback_from"] = {
                     "frames": args.frames, "queries": args.queries,
@@ -149,7 +154,7 @@ def build_and_run(args):
                 raise
     if result is None:
         raise headline_err
-    if result["detail"]["frames"] != 48 or "48f_64q" not in result["metric"]:
+    if measured != (48, 64):
         try:
             sec = _measure_point(args, 48, 64)
             result["detail"]["secondary"] = {

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from l4p_tpu.ops.misc import safe_inverse
-from l4p_tpu.geometry.core import generate_point_map
+from l4p_tpu.geometry.core import generate_point_map, ransac_sample_indices
 
 
 # ---------------------------------------------------------------------------
@@ -147,20 +147,9 @@ def sim3_ransac(
     n = src_n3.shape[0]
     # distinct points per minimal sample (skimage samples without
     # replacement; duplicates waste hypothesis budget on rank-deficient
-    # fits). One permutation chopped into disjoint minimal samples instead
-    # of a per-trial choice(replace=False): the latter lowers to a full
-    # n-element sort PER TRIAL (128 sorts of ~15k points per window
-    # transition); a chopped permutation is 1 sort and statistically still a
-    # uniform without-replacement draw per trial.
-    need = num_trials * min_samples
-    n_perms = -(-need // n)  # python ceil: shapes are static under jit
-    if n_perms == 1:
-        flat = jax.random.permutation(key, n)
-    else:
-        flat = jnp.concatenate(
-            [jax.random.permutation(k, n) for k in jax.random.split(key, n_perms)]
-        )
-    idx = flat[:need].reshape(num_trials, min_samples)
+    # fits) — see geometry/core.py:ransac_sample_indices for why chopped
+    # permutations instead of per-trial choice(replace=False)
+    idx = ransac_sample_indices(key, n, num_trials, min_samples)
     tfs, _ = jax.vmap(lambda i: umeyama_sim3(src_n3[i], dst_n3[i]))(idx)
     res = jax.vmap(_sim3_residuals, in_axes=(0, None, None))(tfs, src_n3, dst_n3)  # (T,N)
     inl = res < residual_threshold

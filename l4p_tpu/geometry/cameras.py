@@ -20,6 +20,7 @@ from l4p_tpu.geometry.core import (
     denormalize_intrinsics,
     normalize_intrinsics,
     plucker_to_point_direction,
+    ransac_sample_indices,
 )
 
 
@@ -147,18 +148,7 @@ def find_homography_ransac(
     n = src.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
-    # distinct points per minimal sample via chopped permutations (same
-    # rationale as sim3_ransac, alignment.py:148-163: per-trial
-    # choice(replace=False) lowers to one full n-element sort PER TRIAL)
-    need = num_trials * 4
-    n_perms = -(-need // n)  # python ceil: shapes are static under jit
-    if n_perms == 1:
-        flat = jax.random.permutation(key, n)
-    else:
-        flat = jnp.concatenate(
-            [jax.random.permutation(k, n) for k in jax.random.split(key, n_perms)]
-        )
-    idx = flat[:need].reshape(num_trials, 4)
+    idx = ransac_sample_indices(key, n, num_trials, 4)
     hs = jax.vmap(lambda i: homography_dlt(src[i], dst[i]))(idx)  # (T,3,3)
     errs = jax.vmap(_homography_transfer_err2, in_axes=(0, None, None))(hs, src, dst)  # (T,N)
     errs = jnp.where(valid[None, :], errs, jnp.inf)

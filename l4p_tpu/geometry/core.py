@@ -14,6 +14,27 @@ import jax
 import jax.numpy as jnp
 
 
+def ransac_sample_indices(key: jax.Array, n: int, num_trials: int, k: int) -> jnp.ndarray:
+    """(num_trials, k) point indices, distinct WITHIN each minimal sample.
+
+    Uniform without-replacement draws per trial, built from chopped
+    permutations: a per-trial `choice(replace=False)` lowers to one full
+    n-element sort PER TRIAL (128 sorts of ~15k points per Sim(3) window
+    transition); chopping permutations costs one sort each. Samples are cut
+    WITHIN one permutation only — rows never straddle a permutation boundary,
+    which would let a point repeat inside a sample when k does not divide n
+    (a rank-deficient solve wasting that hypothesis). Shared by sim3_ransac
+    and find_homography_ransac."""
+    per = n // k  # full samples per permutation
+    assert per >= 1, f"need at least {k} points, got {n}"
+    n_perms = -(-num_trials // per)  # python ceil: static under jit
+    keys = jax.random.split(key, n_perms)
+    rows = jnp.concatenate(
+        [jax.random.permutation(kk, n)[: per * k].reshape(per, k) for kk in keys]
+    )
+    return rows[:num_trials]
+
+
 def normalize_intrinsics(intrinsics_b44t: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """[0,1]-normalized K with half-pixel offset (geometry_utils.py:110-116)."""
     k = intrinsics_b44t

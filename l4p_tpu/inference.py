@@ -53,6 +53,11 @@ class InferenceSession:
         joint = cfg.joint_alignment and ("depth" in self.tasks) and ("camray" in self.tasks)
         self._joint = joint
 
+        # only the keys the encoder consumes: extra dict entries (tracking
+        # queries) in the jit signature would retrace the most expensive
+        # stage whenever the query count changes (per-sequence grid sampling)
+        _ENC_KEYS = ("rgb_b3thw", "rgb_u8_bthw3", "intrinsics_b44t", "extrinsics_b44t")
+        self._enc_keys = _ENC_KEYS
         self._enc = jax.jit(
             lambda p, d: L.encode_windows(
                 p, cfg, d.get("rgb_b3thw"), d.get("intrinsics_b44t"),
@@ -88,61 +93,49 @@ class InferenceSession:
             )
 
         def stitch_stage(dense_outs, pose_w, intr_w):
-            t_total = None
-            out = {}
-            for t in self.tasks:
-                if t in dense_outs:
-                    nw = dense_outs[t].shape[0]
-                    t_total = (nw - 1) * stride + ws
-            for t in self.tasks:
-                hcf = heads.get(t)
-                if t == "flow_2d_backward":
-                    out[f"{hcf.task_name}_est_b2thw"] = L.stitch_overwrite(
-                        dense_outs[t], stride, t_total, flow_skip=True
-                    )
-                elif t == "dyn_mask":
-                    out[f"{hcf.task_name}_est_b1thw"] = L.stitch_overwrite(
-                        dense_outs[t], stride, t_total
-                    )
-                elif t == "depth" and not joint:
-                    out[f"{hcf.task_name}_est_b1thw"] = L.stitch_depth_aligned(
-                        dense_outs[t], stride, t_total, hcf
-                    )
-                elif t == "camray" and not joint:
-                    out[f"{hcf.task_name}_est_b16t"] = L.stitch_overwrite(pose_w, stride, t_total)
-                    if not hcf.use_intrinsics:
-                        out[f"{hcf.task_name}_intrinsics_est_b16t"] = L.stitch_overwrite(
-                            intr_w, stride, t_total
-                        )
-            if joint:
-                stitched = L.stitch_joint_depth_camray(
-                    dense_outs["depth"], pose_w, intr_w, stride, t_total,
-                    jax.random.fold_in(self.key, 11),
-                    num_trials=cfg.sim3_num_trials, min_samples=cfg.sim3_min_samples,
-                )
-                out["depth_est_b1thw"] = stitched["depth"]
-                hname = heads["camray"].task_name
-                out[f"{hname}_est_b16t"] = stitched["camray"]
-                out[f"{hname}_intrinsics_est_b16t"] = stitched["camray_intrinsics"]
-            return out
+            # t_total reconstructed from the window count is exact:
+            # encode_windows asserts (T - ws) % stride == 0 (tail frames are
+            # never silently dropped), so T == (nw - 1) * stride + ws
+            nw = next(iter(dense_outs.values())).shape[0]
+            t_total = (nw - 1) * stride + ws
+            return L.stitch_dense_outputs(
+                cfg, self.tasks, dense_outs, pose_w, intr_w, stride, t_total, self.key
+            )
 
         self._stitch = jax.jit(stitch_stage)
 
     @staticmethod
     def supported(cfg, tasks: Sequence[str]) -> bool:
+        import dataclasses
+
         heads = cfg.head_dict
         known = {"track_2d", "flow_2d_backward", "dyn_mask", "depth", "camray"}
         if not set(tasks) <= known:
             return False
         if "track_2d" in tasks and tuple(cfg.track.estimation_directions) != (1,):
             return False
+        if "camray" in tasks and heads.get("camray") is not None and heads["camray"].kind != "camray":
+            return False  # a camera_rays-kind head stitches raw rays, not poses
+        # the stitch stage requires EVERY dense task to come out of the
+        # stacked body — apply run_dense_heads_stacked's own structural
+        # filter (identical dpt configs modulo out-channels), not just the
+        # kind check, so a heterogeneous custom config (e.g. different
+        # hooks_idx per head) falls back to the monolith instead of a
+        # trace-time KeyError
+        dense = [t for t in tasks if t in heads and heads[t].kind in ("flow", "depth", "dyn_mask")]
+        if len(dense) < 2:
+            return False
         stackable = [
-            t for t in tasks if t in heads and heads[t].kind in ("flow", "depth", "dyn_mask")
+            t for t in dense
+            if heads[t].dpt == dataclasses.replace(
+                heads[dense[0]].dpt, num_channels=heads[t].dpt.num_channels
+            )
         ]
-        return len(stackable) >= 2
+        return stackable == dense
 
     def __call__(self, params, data: Dict) -> Dict:
-        enc = self._enc(params["video_encoder"], data)
+        enc_data = {k: data[k] for k in self._enc_keys if k in data}
+        enc = self._enc(params["video_encoder"], enc_data)
         hooks, final = enc["hooks"], enc["final"]
         dense = self._dense(params["task_heads"], hooks)
         pose_w = intr_w = None

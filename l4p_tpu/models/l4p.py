@@ -133,13 +133,11 @@ class L4PConfig:
 # ---------------------------------------------------------------------------
 
 def _map_batch(nw: int, pref: int) -> int:
-    """Largest lax.map batch_size <= pref that DIVIDES nw.
+    """Largest lax.map batch_size <= pref that DIVIDES nw (window-chunk sizes
+    measured within 2% runtime of each other on the chip, ROUND_NOTES r3)."""
+    from l4p_tpu.ops.misc import largest_divisor_leq
 
-    A non-dividing batch_size makes lax.map compile its body twice (the main
-    chunk plus a remainder body) — for the 40-block encoder scan that doubles
-    the dominant compile cost for nothing (window-chunk sizes measured within
-    2% runtime of each other on the chip, ROUND_NOTES round 3)."""
-    return max(d for d in range(1, min(pref, nw) + 1) if nw % d == 0)
+    return largest_divisor_leq(nw, pref)
 
 
 def encode_windows(
@@ -558,6 +556,61 @@ def run_track_chunked(
     return out_t
 
 
+def stitch_dense_outputs(
+    cfg: "L4PConfig",
+    tasks: Sequence[str],
+    dense_outs: Dict[str, jnp.ndarray],  # task -> (nw, B, C, ws, H, W)
+    pose_w: Optional[jnp.ndarray],  # (nw, B, 16, ws) when 'camray' in tasks
+    intr_w: Optional[jnp.ndarray],
+    stride: int,
+    t_total: int,
+    key: jax.Array,
+) -> Dict[str, jnp.ndarray]:
+    """Stitch per-window dense/camray outputs into full-video estimates —
+    the single implementation behind both the monolithic l4p_forward and the
+    split-jit InferenceSession (reference: per-task forward_windowed
+    dispatch, l4p_videomae.py:299-328).
+
+    flow = overwrite with frame-0 skip; dyn_mask = overwrite; depth =
+    disparity-affine chain (or joint Sim(3) with camray); camray = pose
+    overwrite (+ estimated-K buffer unless use_intrinsics)."""
+    heads = cfg.head_dict
+    joint = cfg.joint_alignment and ("depth" in tasks) and ("camray" in tasks)
+    out: Dict[str, jnp.ndarray] = {}
+    for t in tasks:
+        hcf = heads.get(t)
+        if t == "flow_2d_backward" and t in dense_outs:
+            out[f"{hcf.task_name}_est_b2thw"] = stitch_overwrite(
+                dense_outs[t], stride, t_total, flow_skip=True
+            )
+        elif t == "dyn_mask" and t in dense_outs:
+            out[f"{hcf.task_name}_est_b1thw"] = stitch_overwrite(dense_outs[t], stride, t_total)
+        elif t == "depth" and t in dense_outs and not joint:
+            out[f"{hcf.task_name}_est_b1thw"] = stitch_depth_aligned(
+                dense_outs[t], stride, t_total, hcf
+            )
+        elif t == "camray" and pose_w is not None and not joint:
+            out[f"{hcf.task_name}_est_b16t"] = stitch_overwrite(pose_w, stride, t_total)
+            if not hcf.use_intrinsics:
+                # with input intrinsics the reference emits no K estimate
+                # (dense_heads.py:309-315 sets intrinsics_est to None)
+                out[f"{hcf.task_name}_intrinsics_est_b16t"] = stitch_overwrite(
+                    intr_w, stride, t_total
+                )
+    joint = joint and pose_w is not None and "depth" in dense_outs
+    if joint:
+        stitched = stitch_joint_depth_camray(
+            dense_outs["depth"], pose_w, intr_w, stride, t_total,
+            jax.random.fold_in(key, 11),
+            num_trials=cfg.sim3_num_trials, min_samples=cfg.sim3_min_samples,
+        )
+        out["depth_est_b1thw"] = stitched["depth"]
+        hname = heads["camray"].task_name
+        out[f"{hname}_est_b16t"] = stitched["camray"]
+        out[f"{hname}_intrinsics_est_b16t"] = stitched["camray_intrinsics"]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # full forward
 # ---------------------------------------------------------------------------
@@ -600,6 +653,8 @@ def l4p_forward(
 
     out: Dict[str, jnp.ndarray] = {}
     _dense_cache: Dict[str, jnp.ndarray] = {}  # filled by the stacked body below
+    dense_outs: Dict[str, jnp.ndarray] = {}  # per-window outputs for stitch_dense_outputs
+    pose_w = intr_w = None
 
     def run_dense(task: str) -> jnp.ndarray:
         if task in _dense_cache:
@@ -667,12 +722,9 @@ def l4p_forward(
                 out.update(fwd_out)
         elif task == "flow_2d_backward":
             w_outs = run_dense(task)
-            out[f"{heads[task].task_name}_est_b2thw"] = stitch_overwrite(
-                w_outs, stride, t_total, flow_skip=True
-            )
+            dense_outs[task] = w_outs
         elif task == "dyn_mask":
-            w_outs = run_dense(task)
-            out[f"{heads[task].task_name}_est_b1thw"] = stitch_overwrite(w_outs, stride, t_total)
+            dense_outs[task] = run_dense(task)
         elif task in heads and heads[task].kind == "camera_rays":
             # raw ray-map head: overwrite stitch, no aligner
             # (dense_heads.py:220-254 with overlap_aligner_type=None)
@@ -680,41 +732,19 @@ def l4p_forward(
             out[f"{heads[task].task_name}_est_b{heads[task].out_nchan}thw"] = stitch_overwrite(
                 w_outs, stride, t_total
             )
-        elif task == "depth" and not joint:
-            w_outs = run_dense(task)
-            out[f"{heads[task].task_name}_est_b1thw"] = stitch_depth_aligned(
-                w_outs, stride, t_total, heads[task]
-            )
-        elif task == "camray" and not joint:
+        elif task == "depth":
+            dense_outs[task] = run_dense(task)
+        elif task == "camray":
             rays_w = run_dense(task).astype(jnp.float32)
             pose_w, intr_w = camray_windows_to_cameras(
                 rays_w, heads[task], img_info, intr, stride, jax.random.fold_in(key, 7)
             )
-            hname = heads[task].task_name
-            out[f"{hname}_est_b16t"] = stitch_overwrite(pose_w, stride, t_total)
-            if not heads[task].use_intrinsics:
-                # with input intrinsics the reference emits no K estimate
-                # (dense_heads.py:309-315 sets intrinsics_est to None)
-                out[f"{hname}_intrinsics_est_b16t"] = stitch_overwrite(intr_w, stride, t_total)
-        elif task in ("depth", "camray") and joint:
-            pass  # handled jointly below
         else:
             raise ValueError(f"unknown task {task}")
 
-    if joint:
-        depth_w = run_dense("depth")
-        rays_w = run_dense("camray").astype(jnp.float32)
-        pose_w, intr_w = camray_windows_to_cameras(
-            rays_w, heads["camray"], img_info, intr, stride, jax.random.fold_in(key, 7)
-        )
-        stitched = stitch_joint_depth_camray(
-            depth_w, pose_w, intr_w, stride, t_total, jax.random.fold_in(key, 11),
-            num_trials=cfg.sim3_num_trials, min_samples=cfg.sim3_min_samples,
-        )
-        out["depth_est_b1thw"] = stitched["depth"]
-        hname = heads["camray"].task_name
-        out[f"{hname}_est_b16t"] = stitched["camray"]
-        out[f"{hname}_intrinsics_est_b16t"] = stitched["camray_intrinsics"]
+    out.update(stitch_dense_outputs(
+        cfg, tasks, dense_outs, pose_w, intr_w, stride, t_total, key
+    ))
     return out
 
 

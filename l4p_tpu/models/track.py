@@ -28,7 +28,7 @@ from l4p_tpu.models.sam import (
 import numpy as np
 
 from l4p_tpu.ops.conv import linear
-from l4p_tpu.ops.misc import apply_fn
+from l4p_tpu.ops.misc import apply_fn, largest_divisor_leq
 from l4p_tpu.ops.resize import _interp_matrix, interpolate_trilinear
 
 
@@ -228,7 +228,7 @@ def track_forward_item(
         xl = interpolate_trilinear(lg[None], cfg.image_size, align_corners=False, method="lerp")
         return softargmax_xy(xl, cfg.image_size[1:])[0]
 
-    xy_chunk = max(d for d in range(1, min(32, n) + 1) if n % d == 0)
+    xy_chunk = largest_divisor_leq(n, 32)
     out["traj_nt2"] = jax.lax.map(
         _xy_chunk, logits[:, tid["xy"]], batch_size=xy_chunk
     )  # (N, T, 2)

@@ -41,3 +41,11 @@ def check_inf_nan(x: jnp.ndarray):
     (reference: l4p/utils/misc.py:41-45)."""
     bad = jnp.logical_or(jnp.isnan(x), jnp.isinf(x))
     return jnp.sum(bad) > 0, bad
+
+
+def largest_divisor_leq(n: int, pref: int) -> int:
+    """Largest integer <= pref that DIVIDES n (static python math, used to
+    pick lax.map batch sizes: a non-dividing batch_size makes lax.map compile
+    its body TWICE — main chunk + remainder — doubling that body's compile
+    cost for nothing)."""
+    return max(d for d in range(1, min(pref, n) + 1) if n % d == 0)
