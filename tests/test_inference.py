@@ -87,3 +87,34 @@ def test_split_session_non_joint_subset():
             np.asarray(split[k], np.float32), np.asarray(mono[k], np.float32),
             rtol=1e-5, atol=1e-5, err_msg=k,
         )
+
+
+def test_split_session_use_intrinsics_mode():
+    """camray use_intrinsics=True: rotations from the input K, NO estimated-K
+    output key (reference dense_heads.py:309-315) — the shared stitcher's
+    remaining untested branch, non-joint."""
+    import dataclasses
+
+    from l4p_tpu.inference import InferenceSession
+    from l4p_tpu.models.l4p import l4p_forward
+
+    cfg = tiny_cfg()
+    heads = dict(cfg.heads)
+    heads["camray"] = dataclasses.replace(
+        heads["camray"], use_intrinsics=True, fixed_intrinsics=False
+    )
+    cfg = dataclasses.replace(cfg, heads=tuple(heads.items()), joint_alignment=False)
+    tasks = ("depth", "dyn_mask", "camray")
+    assert InferenceSession.supported(cfg, tasks)
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = make_data(T=8, with_tracks=False)
+
+    mono = l4p_forward(params, cfg, data, tasks, key=jax.random.PRNGKey(0))
+    split = InferenceSession(cfg, tasks)(params, data)
+    assert "traj3d_intrinsics_est_b16t" not in mono
+    assert set(mono) == set(split)
+    for k in mono:
+        np.testing.assert_allclose(
+            np.asarray(split[k], np.float32), np.asarray(mono[k], np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
