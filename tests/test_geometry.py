@@ -324,3 +324,20 @@ def test_linear_aligner_median_parity():
     sol = galign.linear_scale_solve(jnp.asarray(pred), jnp.asarray(target), pre_inverse=True, method="median")
     ours = np.asarray(galign.linear_scale_apply(sol, jnp.asarray(pred), pre_inverse=True))
     np.testing.assert_allclose(ours, ref_applied, rtol=1e-3, atol=1e-3)
+
+
+def test_ransac_sample_indices_distinct_when_k_not_dividing_n():
+    """Minimal samples must never repeat a point, even when k does not
+    divide n (a sample cut across a permutation boundary could repeat one
+    -> rank-deficient DLT wasting the hypothesis)."""
+    import jax
+    import numpy as np
+
+    from l4p_tpu.geometry.core import ransac_sample_indices
+
+    for n, trials, k in [(255, 128, 4), (253, 128, 10), (16, 40, 4)]:
+        idx = np.asarray(ransac_sample_indices(jax.random.PRNGKey(3), n, trials, k))
+        assert idx.shape == (trials, k)
+        assert idx.min() >= 0 and idx.max() < n
+        n_unique = np.array([len(set(row)) for row in idx])
+        assert (n_unique == k).all(), f"duplicate index inside a minimal sample (n={n})"
