@@ -46,4 +46,8 @@ if [ "$STEP" = all ] || [ "$STEP" = entry ]; then
     # 4. warm the driver's compile-check path
     run entry 1200 python -c "import __graft_entry__ as g; import numpy as np; fn, args = g.entry(); o = fn(*args); import jax; print('entry ok', np.asarray(jax.tree_util.tree_leaves(o)[0].reshape(-1)[0]))"
 fi
+if [ "$STEP" = all ] || [ "$STEP" = encvar ]; then
+    # 5. encoder micro-variants (locates the scan/fp32-materialization cost)
+    run encvar 2400 python scripts/exp_encoder_variants.py
+fi
 echo "DONE -> $LOG/summary.txt"
