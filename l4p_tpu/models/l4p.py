@@ -523,6 +523,7 @@ def run_track_chunked(
     queries: jnp.ndarray,
     labels: jnp.ndarray,
     stride: int,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Forward-direction chunked tracking from precomputed features.
 
@@ -530,7 +531,14 @@ def run_track_chunked(
     governor, sparse_heads.py:181-211) — but as ONE traced chunk body via
     lax.map over padded chunk groups, not an unrolled Python loop: grid
     sampling can produce thousands of queries (e.g. 2500 on DAVIS) and an
-    unrolled graph would take hours to compile."""
+    unrolled graph would take hours to compile.
+
+    With `mesh`, the within-chunk query axis is sharded over the mesh's
+    'data' axis: queries are independent streams through the whole track head
+    (the (N, ...) axis is a pure batch axis in the two-way transformer, mask
+    decoder and softargmax, and each query carries its own memory in the
+    windowed scan), so GSPMD propagates the sharding through the scan carries
+    and the track stage scales near-linearly across chips."""
     n = queries.shape[1]
     chunk = min(tcfg.max_queries, n)
     n_chunks = -(-n // chunk)
@@ -543,6 +551,13 @@ def run_track_chunked(
     b_dim = queries.shape[0]
     q_c = queries.reshape(b_dim, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
     l_c = labels.reshape(b_dim, n_chunks, chunk).transpose(1, 0, 2)
+    if mesh is not None and "data" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        q_c = jax.lax.with_sharding_constraint(
+            q_c, NamedSharding(mesh, P(None, None, "data", None)))
+        l_c = jax.lax.with_sharding_constraint(
+            l_c, NamedSharding(mesh, P(None, None, "data")))
 
     def one(args):
         q, l = args
@@ -682,7 +697,8 @@ def l4p_forward(
 
     def run_track_forward(enc_final, queries, labels) -> Dict[str, jnp.ndarray]:
         return run_track_chunked(
-            params["task_heads"]["track_2d"], cfg.track, enc_final, queries, labels, stride
+            params["task_heads"]["track_2d"], cfg.track, enc_final, queries, labels, stride,
+            mesh=mesh,
         )
 
     for task in tasks:

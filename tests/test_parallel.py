@@ -31,6 +31,21 @@ def test_window_sharded_inference_matches_unsharded():
         np.testing.assert_allclose(np.asarray(sharded[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4)
 
 
+def test_query_sharded_tracking_matches_unsharded():
+    """The track stage shards its query axis over the mesh 'data' axis
+    (run_track_chunked mesh path); outputs must equal the unsharded run.
+    N=16 with max_queries=8 also exercises the chunked lax.map under the
+    sharding constraint."""
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = make_data(T=8, N=16)
+    mesh = make_mesh(n_data=8, n_model=1)
+    ref = jax.jit(lambda p, d: l4p_forward(p, cfg, d, ("track_2d",)))(params, data)
+    sharded = jax.jit(lambda p, d: l4p_forward(p, cfg, d, ("track_2d",), mesh=mesh))(params, data)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(sharded[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4)
+
+
 def test_tp_sharded_encoder_matches_replicated():
     from l4p_tpu.models.encoder import EncoderConfig, init_encoder_params
 
