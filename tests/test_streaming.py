@@ -1,0 +1,99 @@
+"""Streaming (online) inference equals the offline sliding-window forward.
+
+The offline l4p_forward is the oracle: pushing the same frames through
+StreamingL4P in arbitrary chunk sizes and concatenating the per-window
+emissions (+ flush tail) must reproduce every output of the one-shot run —
+same alignment chains, same window-0 K solve, same causal tracking carries,
+same PRNG folds.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from l4p_tpu.config import init_l4p_params
+from l4p_tpu.models.l4p import l4p_forward
+from l4p_tpu.streaming import StreamingL4P
+from tests.test_l4p_forward import ALL_TASKS, make_data, tiny_cfg
+
+
+def _u8_data(T, N, seed=0):
+    rng = np.random.default_rng(seed)
+    data = make_data(T=T, N=N, seed=seed)
+    del data["rgb_b3thw"]
+    data["rgb_u8_bthw3"] = jnp.asarray(
+        rng.integers(0, 256, (1, T, 28, 28, 3), dtype=np.uint8)
+    )
+    return data
+
+
+def _time_axis(key: str) -> int:
+    return -1 if key.endswith(("_bn2t", "_bn1t")) else 2
+
+
+def _stream_all(cfg, params, data, tasks, chunks):
+    s = StreamingL4P(
+        params, cfg, tasks,
+        queries_bn3=data.get("track_2d_pointquerries_bn3"),
+        labels_bn=data.get("track_2d_pointlabels_bn"),
+    )
+    rgb = np.asarray(data["rgb_u8_bthw3"])
+    intr = np.asarray(data["intrinsics_b44t"])
+    emits = []
+    t0 = 0
+    for c in chunks:
+        emits += s.push(rgb[:, t0 : t0 + c], intr[:, :, :, t0 : t0 + c])
+        t0 += c
+    assert t0 == rgb.shape[1]
+    emits.append(s.flush())
+    # chunks must arrive in frame order and cover every frame exactly once
+    assert [e["t0"] for e in emits] == sorted(e["t0"] for e in emits)
+    out = {}
+    for k in emits[0]:
+        if k == "t0":
+            continue
+        out[k] = jnp.concatenate([e[k] for e in emits], axis=_time_axis(k))
+    return out
+
+
+def test_streaming_matches_offline_all_tasks():
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    T = 12  # 5 windows at ws=4 / stride=2
+    data = _u8_data(T, N=5)
+    ref = jax.jit(lambda p, d: l4p_forward(p, cfg, d, ALL_TASKS))(params, data)
+    got = _stream_all(cfg, params, data, ALL_TASKS, chunks=[5, 1, 4, 2])
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k].shape == ref[k].shape, k
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4, err_msg=k
+        )
+
+
+def test_streaming_matches_offline_depth_only_chain():
+    """Non-joint path: the disparity-affine depth chain + overwrite stitches."""
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    T = 10
+    data = _u8_data(T, N=3, seed=1)
+    tasks = ("depth", "dyn_mask", "flow_2d_backward")
+    ref = jax.jit(lambda p, d: l4p_forward(p, cfg, d, tasks))(params, data)
+    got = _stream_all(cfg, params, data, tasks, chunks=[4, 6])
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4, err_msg=k
+        )
+
+
+def test_streaming_tiling_contract():
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = _u8_data(9, N=3)  # 9 frames: 3 windows consume 8, 1 frame left over
+    s = StreamingL4P(params, cfg, ("dyn_mask",))
+    s.push(np.asarray(data["rgb_u8_bthw3"]), np.asarray(data["intrinsics_b44t"]))
+    with pytest.raises(ValueError, match="tile the window grid"):
+        s.flush()
