@@ -50,4 +50,8 @@ if [ "$STEP" = all ] || [ "$STEP" = encvar ]; then
     # 5. encoder micro-variants (locates the scan/fp32-materialization cost)
     run encvar 2400 python scripts/exp_encoder_variants.py
 fi
+if [ "$STEP" = all ] || [ "$STEP" = stream ]; then
+    # 6. streaming steady-state window latency (README real-time claim)
+    run stream 2400 python scripts/stream_bench.py
+fi
 echo "DONE -> $LOG/summary.txt"
