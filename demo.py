@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--max-queries", type=int, default=128)
     ap.add_argument("--tasks", default=None, help="defaults to the config's task list")
     ap.add_argument("--synthetic", action="store_true", help="random-video smoke run")
+    ap.add_argument("--stream", action="store_true",
+                    help="online mode: frames through StreamingL4P one "
+                         "window-stride at a time (outputs identical to offline)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", ".cache/jax")
@@ -71,15 +74,17 @@ def main():
         k[:, 0, 2], k[:, 1, 2] = 112.0, 112.0
         n = 32
         q = np.stack([np.zeros(n) + 0.5, rng.uniform(8, 216, n), rng.uniform(8, 216, n)], -1)
+        u8 = rng.integers(0, 256, (1, t, 224, 224, 3), dtype=np.uint8)
         batch = {
-            "rgb_b3thw": rng.standard_normal((1, 3, t, 224, 224)).astype(np.float32),
+            "rgb_u8_bthw3": u8,
+            "rgb_b3thw": (u8.transpose(0, 4, 1, 2, 3) / 255.0).astype(np.float32),
             "intrinsics_b44t": k,
             "track_2d_pointquerries_bn3": q[None].astype(np.float32),
             "track_2d_pointlabels_bn": np.ones((1, n), np.float32),
             "rgb_mean_b3111": np.zeros((1, 3, 1, 1, 1), np.float32),
             "rgb_std_b3111": np.ones((1, 3, 1, 1, 1), np.float32),
         }
-        run_sequence(params, cfg, tasks, batch, args.out_dir, "synthetic")
+        run_sequence(params, cfg, tasks, batch, args.out_dir, "synthetic", stream=args.stream)
         return
 
     for ds in datasets:
@@ -95,7 +100,7 @@ def main():
             if args.seq and not any(s in seq for s in args.seq):
                 continue
             batch = collate(sample)
-            run_sequence(params, cfg, tasks, batch, args.out_dir, seq)
+            run_sequence(params, cfg, tasks, batch, args.out_dir, seq, stream=args.stream)
 
 
 if __name__ == "__main__":

@@ -196,10 +196,15 @@ def run_sequence(
     seq_name: str,
     dtype=jnp.bfloat16,
     write_artifacts: bool = True,
+    stream: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Run all-task inference on one sequence and write the demo artifacts:
     {seq}_panels.mp4 + per-frame point clouds / camera frusta / 3D-track PLYs
-    (reference demo/demo.py:78, :151)."""
+    (reference demo/demo.py:78, :151).
+
+    With `stream`, frames go through StreamingL4P one window-stride at a time
+    (the online serving path, outputs identical to offline — streaming.py);
+    artifacts are written once at the end either way."""
     from l4p_tpu.utils.vis import generate_video_visualizations, generate_4d_visualization
 
     data = {}
@@ -210,13 +215,36 @@ def run_sequence(
         if isinstance(v, np.ndarray):
             data[k] = jnp.asarray(v, dtype if k == "rgb_b3thw" else None)
 
-    fwd = get_forward_fn(cfg, tasks)
     t0 = time.time()
-    out = fwd(params, data)
+    if stream:
+        if not use_u8:
+            raise ValueError("streaming mode needs uint8 frames (dataset emit_uint8)")
+        from l4p_tpu.streaming import StreamingL4P, assemble_emissions
+
+        s = StreamingL4P(
+            params, cfg, tasks,
+            queries_bn3=data.get("track_2d_pointquerries_bn3"),
+            labels_bn=data.get("track_2d_pointlabels_bn"),
+        )
+        rgb = batch["rgb_u8_bthw3"]
+        intr = batch.get("intrinsics_b44t")
+        ws, stride = cfg.window_size[0], cfg.window_stride_t
+        emits, lo = [], 0
+        t_frames_u8 = rgb.shape[1]
+        while lo < t_frames_u8:
+            hi = min(lo + (ws if lo == 0 else stride), t_frames_u8)
+            emits += s.push(rgb[:, lo:hi], None if intr is None else intr[:, :, :, lo:hi])
+            lo = hi
+        emits.append(s.flush())
+        out = assemble_emissions(emits)
+    else:
+        fwd = get_forward_fn(cfg, tasks)
+        out = fwd(params, data)
     out_np = {k: np.asarray(v, np.float32) for k, v in out.items()}
     dt = time.time() - t0
     t_frames = batch["rgb_b3thw"].shape[2]
-    print(f"[{seq_name}] {t_frames} frames in {dt:.2f}s ({t_frames / dt:.1f} fps incl. compile)")
+    mode = "streamed" if stream else "in"
+    print(f"[{seq_name}] {t_frames} frames {mode} {dt:.2f}s ({t_frames / dt:.1f} fps incl. compile)")
     print(f"[{seq_name}] outputs: {sorted(out_np.keys())}")
 
     if not write_artifacts:

@@ -60,6 +60,20 @@ from l4p_tpu.models.l4p import (
 from l4p_tpu.models.track import TrackConfig, track_forward
 
 
+def assemble_emissions(emits: Sequence[Dict[str, jnp.ndarray]]) -> Dict[str, jnp.ndarray]:
+    """Concatenate per-window emissions (+ flush tail) back into full-video
+    outputs, shaped exactly like the offline l4p_forward's return."""
+    emits = [e for e in emits if e is not None]
+    assert emits and [e["t0"] for e in emits] == sorted(e["t0"] for e in emits)
+    out = {}
+    for k in emits[0]:
+        if k == "t0":
+            continue
+        axis = -1 if k.endswith(("_bn2t", "_bn1t")) else 2
+        out[k] = jnp.concatenate([e[k] for e in emits], axis=axis)
+    return out
+
+
 def _pose_from_ext(ext_b44t: jnp.ndarray) -> jnp.ndarray:
     """pose = inv(extrinsics), flattened to (B, 16, t)
     (models/l4p.py:camray_windows_to_cameras, dense_heads.py:346-347)."""

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from l4p_tpu.config import init_l4p_params
 from l4p_tpu.models.l4p import l4p_forward
-from l4p_tpu.streaming import StreamingL4P
+from l4p_tpu.streaming import StreamingL4P, assemble_emissions
 from tests.test_l4p_forward import ALL_TASKS, make_data, tiny_cfg
 
 
@@ -27,10 +27,6 @@ def _u8_data(T, N, seed=0):
         rng.integers(0, 256, (1, T, 28, 28, 3), dtype=np.uint8)
     )
     return data
-
-
-def _time_axis(key: str) -> int:
-    return -1 if key.endswith(("_bn2t", "_bn1t")) else 2
 
 
 def _stream_all(cfg, params, data, tasks, chunks):
@@ -48,14 +44,7 @@ def _stream_all(cfg, params, data, tasks, chunks):
         t0 += c
     assert t0 == rgb.shape[1]
     emits.append(s.flush())
-    # chunks must arrive in frame order and cover every frame exactly once
-    assert [e["t0"] for e in emits] == sorted(e["t0"] for e in emits)
-    out = {}
-    for k in emits[0]:
-        if k == "t0":
-            continue
-        out[k] = jnp.concatenate([e[k] for e in emits], axis=_time_axis(k))
-    return out
+    return assemble_emissions(emits)
 
 
 def test_streaming_matches_offline_all_tasks():
@@ -87,6 +76,29 @@ def test_streaming_matches_offline_depth_only_chain():
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4, err_msg=k
         )
+
+
+def test_run_sequence_stream_matches_offline():
+    """The demo/CLI surface: run_sequence(stream=True) equals the offline
+    run_sequence on the same batch (no artifacts)."""
+    from l4p_tpu.inference import run_sequence
+
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    T = 8
+    data = _u8_data(T, N=4, seed=2)
+    batch = {k: np.asarray(v) for k, v in data.items()}
+    batch["rgb_b3thw"] = (
+        batch["rgb_u8_bthw3"].transpose(0, 4, 1, 2, 3) / 255.0
+    ).astype(np.float32)
+    tasks = ("depth", "dyn_mask", "track_2d")
+    ref = run_sequence(params, cfg, tasks, batch, "", "t", dtype=jnp.float32,
+                       write_artifacts=False)
+    got = run_sequence(params, cfg, tasks, batch, "", "t", dtype=jnp.float32,
+                       write_artifacts=False, stream=True)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4, err_msg=k)
 
 
 def test_streaming_tiling_contract():
