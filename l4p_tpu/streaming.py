@@ -587,6 +587,41 @@ class StreamingL4P:
         self._trim()
         return emit
 
+    # -- checkpoint / resume (failure recovery for long-running streams) ----
+
+    def get_state(self) -> Dict:
+        """Snapshot the session: model carries + host-side frame buffer.
+        Everything is numpy/python, so it serializes with np.savez / orbax —
+        a crashed streaming worker resumes exactly where it stopped
+        (tests/test_streaming.py::test_streaming_checkpoint_resume)."""
+        carry_np = (
+            None
+            if self._carry is None
+            else jax.tree.map(lambda x: np.asarray(x), self._carry)
+        )
+        return {
+            "carry": carry_np,
+            "w": self._w,
+            "buf_t": self._buf_t,
+            "frames": [f.copy() for f in self._frames],
+            "intr": [None if i is None else i.copy() for i in self._intr],
+            "flushed": self._flushed,
+        }
+
+    def set_state(self, state: Dict) -> None:
+        """Restore a get_state() snapshot (params/cfg/tasks/queries must match
+        the ones the session was constructed with)."""
+        self._carry = (
+            None
+            if state["carry"] is None
+            else jax.tree.map(jnp.asarray, state["carry"])
+        )
+        self._w = state["w"]
+        self._buf_t = state["buf_t"]
+        self._frames = [f.copy() for f in state["frames"]]
+        self._intr = [None if i is None else i.copy() for i in state["intr"]]
+        self._flushed = state["flushed"]
+
     def flush(self) -> Optional[Dict[str, jnp.ndarray]]:
         """Emit the final window's tail (`ws - stride` frames). Raises if
         leftover frames never completed a window — the same tiling contract

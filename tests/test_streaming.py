@@ -101,6 +101,37 @@ def test_run_sequence_stream_matches_offline():
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4, err_msg=k)
 
 
+def test_streaming_checkpoint_resume():
+    """A crashed worker restores a get_state() snapshot and the resumed
+    stream's outputs equal the uninterrupted run — including a partially
+    buffered (not yet windowed) chunk at the snapshot point."""
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    T = 12
+    data = _u8_data(T, N=4, seed=3)
+    tasks = ("depth", "dyn_mask", "camray", "track_2d")
+    rgb = np.asarray(data["rgb_u8_bthw3"])
+    intr = np.asarray(data["intrinsics_b44t"])
+    q = data["track_2d_pointquerries_bn3"]
+
+    ref = _stream_all(cfg, params, data, tasks, chunks=[T])
+
+    s1 = StreamingL4P(params, cfg, tasks, queries_bn3=q)
+    emits = s1.push(rgb[:, :7], intr[:, :, :, :7])  # 2 windows + 3 buffered
+    state = s1.get_state()
+    del s1
+
+    s2 = StreamingL4P(params, cfg, tasks, queries_bn3=q)
+    s2.set_state(state)
+    emits += s2.push(rgb[:, 7:], intr[:, :, :, 7:])
+    emits.append(s2.flush())
+    got = assemble_emissions(emits)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4, atol=1e-4, err_msg=k
+        )
+
+
 def test_streaming_tiling_contract():
     cfg = tiny_cfg()
     params = init_l4p_params(cfg, jax.random.PRNGKey(0))
