@@ -68,6 +68,19 @@ class EncoderConfig:
     # equivalent of the reference's with_cp torch.utils.checkpoint flag,
     # modeling_pretrain.py:137-141)
     remat_blocks: bool = False
+    # perf experiment knobs (scripts/exp_encoder_variants.py measures both on
+    # the chip; flip the defaults only with on-chip numbers):
+    # * unroll_blocks: Python-unrolled blocks instead of the stacked lax.scan
+    #   — removes the per-step param dynamic-slice copies (~50 MB/block)
+    #   at the cost of a depth-times-larger graph;
+    # * matmul_out_compute_dtype: block einsums emit the compute dtype
+    #   directly instead of fp32 (MXU accumulation stays fp32 either way;
+    #   bias adds happen in the compute dtype) — removes the fp32
+    #   materialization+cast between each matmul and its consumer. Exact in
+    #   fp32; under bf16 it changes low-order bits (golden regen needed when
+    #   flipped on).
+    unroll_blocks: bool = False
+    matmul_out_compute_dtype: bool = False
 
     @property
     def tokens_thw(self):
@@ -200,14 +213,19 @@ def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig, dp=None) -> jnp.ndarray:
     learnable clamped log scale (modeling_finetune.py:109-134)."""
     B, N, E = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
+    # einsum output dtype: fp32 (then cast after the bias add) by default;
+    # the compute dtype directly with matmul_out_compute_dtype (MXU still
+    # accumulates fp32 internally — this only changes what HBM sees)
+    pet = None if cfg.matmul_out_compute_dtype else jnp.float32
+    bdt = x.dtype if cfg.matmul_out_compute_dtype else jnp.float32
 
     h = layer_norm(x, p["norm1_w"], p["norm1_b"], cfg.ln_eps)
     # qkv_w is (3, E, E): the output feature dim stays head-aligned so tensor
     # parallelism can shard it over heads (a fused (3E, E) layout would make
     # the 'model' split cross the q/k boundary and force all-gathers)
     qkv_bias = jnp.stack([p["q_bias"], jnp.zeros_like(p["v_bias"]), p["v_bias"]])  # (3, E)
-    qkv = jnp.einsum("bne,sfe->bsnf", h, p["qkv_w"].astype(h.dtype), preferred_element_type=jnp.float32)
-    qkv = (qkv + qkv_bias[None, :, None, :].astype(jnp.float32)).astype(x.dtype)
+    qkv = jnp.einsum("bne,sfe->bsnf", h, p["qkv_w"].astype(h.dtype), preferred_element_type=pet)
+    qkv = (qkv + qkv_bias[None, :, None, :].astype(bdt)).astype(x.dtype)
     qkv = qkv.reshape(B, 3, N, nh, hd).transpose(1, 0, 3, 2, 4)  # (3, B, H, N, D)
     if cfg.cos_attn:
         qn = qkv[0] / jnp.linalg.norm(qkv[0].astype(jnp.float32), axis=-1, keepdims=True).astype(x.dtype)
@@ -218,8 +236,8 @@ def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig, dp=None) -> jnp.ndarray:
     else:
         attn_out = _attention(qkv[0], qkv[1], qkv[2], hd ** -0.5, cfg)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, E)
-    proj = jnp.einsum("bne,fe->bnf", attn_out, p["proj_w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    branch = (proj + p["proj_b"].astype(jnp.float32)).astype(x.dtype)
+    proj = jnp.einsum("bne,fe->bnf", attn_out, p["proj_w"].astype(x.dtype), preferred_element_type=pet)
+    branch = (proj + p["proj_b"].astype(bdt)).astype(x.dtype)
     if "gamma_1" in p:
         branch = branch * p["gamma_1"].astype(x.dtype)
     if dp is not None:
@@ -227,10 +245,10 @@ def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig, dp=None) -> jnp.ndarray:
     x = x + branch
 
     h = layer_norm(x, p["norm2_w"], p["norm2_b"], cfg.ln_eps)
-    h1 = jnp.einsum("bne,fe->bnf", h, p["fc1_w"].astype(h.dtype), preferred_element_type=jnp.float32)
-    h1 = gelu((h1 + p["fc1_b"].astype(jnp.float32)).astype(x.dtype))
-    h2 = jnp.einsum("bnf,ef->bne", h1, p["fc2_w"].astype(h1.dtype), preferred_element_type=jnp.float32)
-    branch = (h2 + p["fc2_b"].astype(jnp.float32)).astype(x.dtype)
+    h1 = jnp.einsum("bne,fe->bnf", h, p["fc1_w"].astype(h.dtype), preferred_element_type=pet)
+    h1 = gelu((h1 + p["fc1_b"].astype(bdt)).astype(x.dtype))
+    h2 = jnp.einsum("bnf,ef->bne", h1, p["fc2_w"].astype(h1.dtype), preferred_element_type=pet)
+    branch = (h2 + p["fc2_b"].astype(bdt)).astype(x.dtype)
     if "gamma_2" in p:
         branch = branch * p["gamma_2"].astype(x.dtype)
     if dp is not None:
@@ -336,6 +354,12 @@ def encoder_apply(
 
     def scan_segment(x, lo, hi):
         blocks_slice = _slice_blocks(params["blocks"], lo, hi)
+        if cfg.unroll_blocks:
+            for i in range(hi - lo):
+                bp = {k: v[i] for k, v in blocks_slice.items()}
+                dp_i = (dp_rates[lo + i], dp_keys[lo + i]) if dp_active else None
+                x = block_fn(x, bp, dp_i) if dp_active else block_fn(x, bp)
+            return x
         if dp_active:
             def body(carry, xs):
                 p, r, k = xs

@@ -55,74 +55,28 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from l4p_tpu.models.encoder import GIANT, encoder_apply, init_encoder_params
-    from l4p_tpu.ops.conv import layer_norm, gelu
-    from l4p_tpu.ops.flash_attention import attention_auto
 
     key = jax.random.PRNGKey(0)
     cfg = GIANT
     params = init_encoder_params(cfg, key, jnp.bfloat16)
     x = jax.random.normal(key, (1, 3, 16, 224, 224), jnp.bfloat16)
 
+    import dataclasses
+
     fwd = jax.jit(lambda p, xx: encoder_apply(p, xx, cfg))
     rep("encoder_base", time_fn(fwd, params, x, iters=5))
 
-    # ---- variant blocks ----
-    def block_v(xx, p, bf16out: bool):
-        B, N, E = xx.shape
-        nh, hd = cfg.num_heads, cfg.head_dim
-        pet = None if bf16out else jnp.float32
-
-        def mm(a, w):
-            o = jnp.einsum("bne,fe->bnf", a, w.astype(a.dtype), preferred_element_type=pet)
-            return o
-
-        h = layer_norm(xx, p["norm1_w"], p["norm1_b"], cfg.ln_eps)
-        qkv_bias = jnp.stack([p["q_bias"], jnp.zeros_like(p["v_bias"]), p["v_bias"]])
-        qkv = jnp.einsum("bne,sfe->bsnf", h, p["qkv_w"].astype(h.dtype), preferred_element_type=pet)
-        if bf16out:
-            qkv = qkv + qkv_bias[None, :, None, :].astype(qkv.dtype)
-        else:
-            qkv = (qkv + qkv_bias[None, :, None, :].astype(jnp.float32)).astype(xx.dtype)
-        qkv = qkv.reshape(B, 3, N, nh, hd).transpose(1, 0, 3, 2, 4)
-        attn_out = attention_auto(qkv[0], qkv[1], qkv[2], hd ** -0.5)
-        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, E)
-        proj = mm(attn_out, p["proj_w"])
-        if bf16out:
-            xx = xx + (proj + p["proj_b"].astype(proj.dtype))
-        else:
-            xx = xx + (proj + p["proj_b"].astype(jnp.float32)).astype(xx.dtype)
-
-        h = layer_norm(xx, p["norm2_w"], p["norm2_b"], cfg.ln_eps)
-        h1 = mm(h, p["fc1_w"])
-        if bf16out:
-            h1 = gelu(h1 + p["fc1_b"].astype(h1.dtype))
-        else:
-            h1 = gelu((h1 + p["fc1_b"].astype(jnp.float32)).astype(xx.dtype))
-        h2 = jnp.einsum("bnf,ef->bne", h1, p["fc2_w"].astype(h1.dtype), preferred_element_type=pet)
-        if bf16out:
-            xx = xx + (h2 + p["fc2_b"].astype(h2.dtype))
-        else:
-            xx = xx + (h2 + p["fc2_b"].astype(jnp.float32)).astype(xx.dtype)
-        return xx.astype(jnp.bfloat16)
-
-    from l4p_tpu.models.encoder import patchify
-
-    def enc_variant(p, xx, unroll: bool, bf16out: bool):
-        t = patchify(xx, p["patch_embed"]["weight"], p["patch_embed"]["bias"], cfg)
-        t = t + p["pos_embed"].astype(t.dtype)
-        blocks = p["blocks"]
-        if unroll:
-            for i in range(cfg.depth):
-                t = block_v(t, {k: v[i] for k, v in blocks.items()}, bf16out)
-        else:
-            def body(carry, bp):
-                return block_v(carry, bp, bf16out), None
-            t, _ = lax.scan(body, t, blocks)
-        return layer_norm(t, p["norm"]["weight"], p["norm"]["bias"], cfg.ln_eps)
-
+    # ---- variants via the production flags (EncoderConfig.unroll_blocks /
+    # matmul_out_compute_dtype) so the measurement IS the shippable path;
+    # flag transparency is tested in tests/test_encoder_options.py
     for unroll in (False, True):
         for bf16out in (False, True):
-            fn = jax.jit(lambda p, xx, u=unroll, b=bf16out: enc_variant(p, xx, u, b))
+            if not unroll and not bf16out:
+                continue  # == encoder_base
+            vcfg = dataclasses.replace(
+                cfg, unroll_blocks=unroll, matmul_out_compute_dtype=bf16out
+            )
+            fn = jax.jit(lambda p, xx, c=vcfg: encoder_apply(p, xx, c))
             t0 = time.time()
             _sync(fn(params, x))
             compile_s = time.time() - t0

@@ -132,3 +132,44 @@ def test_mae_registry_sizes():
     g = mae_registry("giant")
     assert g.encoder.embed_dim == 1408 and g.encoder.depth == 40
     assert g.decoder_num_classes == 3 * 2 * 14 * 14
+
+
+def test_unroll_and_compute_dtype_out_flags_are_transparent():
+    """The perf knobs (unroll_blocks, matmul_out_compute_dtype) must be
+    numerically transparent in fp32 — unrolling reorders nothing, and with
+    fp32 operands the einsum output dtype is fp32 either way. (Under bf16 the
+    dtype knob intentionally changes low-order bits; it defaults off.)"""
+    from l4p_tpu.models.encoder import init_encoder_params
+
+    params = init_encoder_params(SMALL, jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 3, 4, 28, 28)), jnp.float32)
+    ref = encoder_apply(params, x, SMALL, hooks=(1, 3))
+    for unroll in (False, True):
+        for cdt in (False, True):
+            if not unroll and not cdt:
+                continue
+            cfg = dataclasses.replace(SMALL, unroll_blocks=unroll, matmul_out_compute_dtype=cdt)
+            out = encoder_apply(params, x, cfg, hooks=(1, 3))
+            np.testing.assert_array_equal(np.asarray(out["final"]), np.asarray(ref["final"]))
+            for a, b in zip(out["hooks"], ref["hooks"]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unroll_matches_scan_with_drop_path():
+    """Stochastic depth folds per-block keys identically under scan and
+    unroll (dp_keys[i] per block in both) — same masks, same math. Not
+    bitwise: under unroll XLA constant-folds each block's keep rate (the
+    linspace is static) and rounds the 1/keep rescale differently than the
+    scan's runtime division (~1e-6)."""
+    from l4p_tpu.models.encoder import init_encoder_params
+
+    cfg0 = dataclasses.replace(SMALL, drop_path_rate=0.5)
+    cfg1 = dataclasses.replace(cfg0, unroll_blocks=True)
+    params = init_encoder_params(cfg0, jax.random.PRNGKey(4))
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 3, 4, 28, 28)), jnp.float32)
+    k = jax.random.PRNGKey(9)
+    a = encoder_apply(params, x, cfg0, hooks=(2,), drop_path_key=k)
+    b = encoder_apply(params, x, cfg1, hooks=(2,), drop_path_key=k)
+    np.testing.assert_allclose(
+        np.asarray(a["final"]), np.asarray(b["final"]), rtol=1e-5, atol=1e-5
+    )
