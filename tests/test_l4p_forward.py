@@ -175,3 +175,35 @@ def test_yaml_config_roundtrip():
     assert cfg.track.prompt_using_features and cfg.track.attend_to_past
     assert cfg.track.sam.num_mask_tokens == 3
     assert cfg.all_hooks == (14, 21, 28, 36)
+
+
+def test_batched_inference_per_item_equivalence():
+    """B>1 all-task inference (the reference hard-asserts B==1 in tracking
+    and 4D vis, sparse_heads.py:241, vis.py:118 — here batch is a real axis
+    end-to-end): item 0 of a B=2 run equals the B=1 run of item 0, through
+    the joint Sim(3) path and the causal tracking scan."""
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    T, N, B = 8, 4, 2
+    k = np.tile(np.diag([30.0, 30.0, 1, 1]).astype(np.float32)[None, :, :, None], (B, 1, 1, T))
+    k[:, 0, 2] = 14.0
+    k[:, 1, 2] = 14.0
+    q = np.stack(
+        [rng.uniform(0, T, (B, N)), rng.uniform(0, 28, (B, N)), rng.uniform(0, 28, (B, N))], -1
+    ).astype(np.float32)
+    data = {
+        "rgb_b3thw": jnp.asarray(rng.standard_normal((B, 3, T, 28, 28)), jnp.float32),
+        "intrinsics_b44t": jnp.asarray(k),
+        "track_2d_pointquerries_bn3": jnp.asarray(q),
+        "track_2d_pointlabels_bn": jnp.ones((B, N), jnp.float32),
+    }
+    out = jax.jit(lambda p, d: l4p_forward(p, cfg, d, ALL_TASKS))(params, data)
+    d0 = {k2: v[:1] for k2, v in data.items()}
+    out0 = jax.jit(lambda p, d: l4p_forward(p, cfg, d, ALL_TASKS))(params, d0)
+    for k2 in out:
+        assert out[k2].shape[0] == B
+        np.testing.assert_allclose(
+            np.asarray(out[k2][:1], np.float32), np.asarray(out0[k2], np.float32),
+            rtol=1e-4, atol=1e-4, err_msg=k2,
+        )
