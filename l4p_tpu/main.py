@@ -76,6 +76,9 @@ def main(argv=None):
     ap.add_argument("--max-queries", type=int, default=128)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--stream", action="store_true",
+                    help="predict only: frames through StreamingL4P one "
+                         "window-stride at a time (outputs identical to offline)")
     args = ap.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", ".cache/jax")
@@ -107,6 +110,7 @@ def main(argv=None):
             out = run_sequence(
                 params, cfg, tasks, batch, args.out_dir, seq,
                 dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                stream=args.stream,
             )
             print(f"sample {i} ({seq}): "
                   + ", ".join(f"{k}{list(v.shape)}" for k, v in sorted(out.items())))
