@@ -207,11 +207,17 @@ def run_sequence(
     artifacts are written once at the end either way."""
     from l4p_tpu.utils.vis import generate_video_visualizations, generate_4d_visualization
 
-    data = {}
     use_u8 = "rgb_u8_bthw3" in batch
+    # in stream mode the video (and intrinsics) go to the device
+    # window-by-window inside StreamingL4P — uploading the whole clip here
+    # would be a redundant host->device copy pinned in HBM for the whole run
+    skip = {"rgb_b3thw"} if use_u8 else set()
+    if stream:
+        skip |= {"rgb_u8_bthw3", "intrinsics_b44t"}
+    data = {}
     for k, v in batch.items():
-        if k == "rgb_b3thw" and use_u8:
-            continue  # device gets raw uint8; the float video stays host-side for vis
+        if k in skip:
+            continue
         if isinstance(v, np.ndarray):
             data[k] = jnp.asarray(v, dtype if k == "rgb_b3thw" else None)
 

@@ -516,6 +516,15 @@ def run_dense_heads_stacked(
     return result
 
 
+def merge_query_chunks(v: jnp.ndarray, n_queries: int) -> jnp.ndarray:
+    """(n_chunks, B, chunk, ...) -> (B, n_queries, ...): undo max_queries
+    chunking and slice off the padding queries. Shared by run_track_chunked
+    and the streaming session's per-window/flush emissions."""
+    m = jnp.moveaxis(v, 0, 1)
+    m = m.reshape((m.shape[0], m.shape[1] * m.shape[2]) + m.shape[3:])
+    return m[:, :n_queries]
+
+
 def run_track_chunked(
     track_params: Dict,
     tcfg: TrackConfig,
@@ -564,11 +573,7 @@ def run_track_chunked(
         return track_forward_windowed(track_params, tcfg, enc_final, q, l, stride)
 
     o = jax.lax.map(one, (q_c, l_c))  # dict of (n_chunks, B, chunk, ...)
-    out_t = {}
-    for k, v in o.items():
-        merged = jnp.moveaxis(v, 0, 1).reshape((b_dim, n_chunks * chunk) + v.shape[3:])
-        out_t[k] = merged[:, :n]
-    return out_t
+    return {k: merge_query_chunks(v, n) for k, v in o.items()}
 
 
 def stitch_dense_outputs(

@@ -372,10 +372,14 @@ def track_forward_windowed(
         valid_bn1t = valid_t[:, :, None, :]
         valid_bn = valid_t.sum(-1) > 0
 
-        # labels 0/1/2 (sparse_heads.py:322-335)
+        # labels 0/1/2 (sparse_heads.py:322-335). The reference's overwrite
+        # ORDER matters: the equals-input pass sets label 1 even for queries
+        # not yet valid in this window (their window arrives later), so an
+        # input query is never labeled 0 — only padding queries are.
         lab = jnp.where(valid_bn, 1.0, 0.0).astype(dtype)
         if cfg.modify_pointlabels_for_windowing:
             eq_input = ((cur_q == queries_bn3).sum(-1)) > 0
+            lab = jnp.where(eq_input, 1.0, lab)
             lab = jnp.where(jnp.logical_and(valid_bn, ~eq_input), 2.0, lab)
 
         q_off = cur_q.at[:, :, 0].add(-start)

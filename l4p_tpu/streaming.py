@@ -55,6 +55,7 @@ from l4p_tpu.models.l4p import (
     L4PConfig,
     dense_head_raw,
     encode_windows,
+    merge_query_chunks,
     run_dense_heads_stacked,
 )
 from l4p_tpu.models.track import TrackConfig, track_forward
@@ -120,9 +121,12 @@ def _track_stream_step(
     valid_bn1t = valid_t[:, :, None, :]
     valid_bn = valid_t.sum(-1) > 0
 
+    # reference overwrite order: equals-input sets label 1 even when not yet
+    # valid (see models/track.py — only padding queries ever get label 0)
     lab = jnp.where(valid_bn, 1.0, 0.0).astype(dtype)
     if cfg.modify_pointlabels_for_windowing:
         eq_input = ((cur_q == queries0_bn3).sum(-1)) > 0
+        lab = jnp.where(eq_input, 1.0, lab)
         lab = jnp.where(jnp.logical_and(valid_bn, ~eq_input), 2.0, lab)
 
     q_off = cur_q.at[:, :, 0].add(-start)
@@ -237,6 +241,11 @@ class StreamingL4P:
                 raise NotImplementedError("camera_rays head has no streaming stitcher")
         if "track_2d" in self.tasks and tuple(cfg.track.estimation_directions) != (1,):
             raise ValueError("streaming tracking is forward-only (causality)")
+        if cfg.encoder.cam_emb_placed_at is not None:
+            raise NotImplementedError(
+                "streaming does not plumb extrinsics for the Plucker camera "
+                "embedding; use the offline l4p_forward for cam_emb configs"
+            )
 
         self.ws, self.stride = cfg.window_size[0], cfg.window_stride_t
         self.h, self.w = cfg.window_size[1:]
@@ -251,6 +260,11 @@ class StreamingL4P:
         self._buf_t = 0
         self._w = 0  # next window index
         self._flushed = False
+        # intrinsics must come with every push or never — a mid-stream flip
+        # would silently change the camray K source (fixed mode rotations
+        # come from the INPUT K when given); tracked as session state, not
+        # recomputed from the trimmed buffer
+        self._has_intr: Optional[bool] = None
 
         self._track_chunks = None
         if "track_2d" in self.tasks:
@@ -500,16 +514,12 @@ class StreamingL4P:
             new_track, t_emit = jax.vmap(one_chunk)(carry["track"], self._q0)
             new_carry["track"] = new_track
 
-            def merge(v: jnp.ndarray) -> jnp.ndarray:
-                # (n_chunks, B, chunk, ...) -> (B, n, ...)
-                m = jnp.moveaxis(v, 0, 1)
-                m = m.reshape((m.shape[0], m.shape[1] * m.shape[2]) + m.shape[3:])
-                return m[:, : self._n_queries]
-
-            emit[f"{tname}_traj_est_bn2t"] = merge(t_emit["traj"])
-            emit[f"{tname}_vis_est_bn1t"] = merge(t_emit["vis"])
+            emit[f"{tname}_traj_est_bn2t"] = merge_query_chunks(t_emit["traj"], self._n_queries)
+            emit[f"{tname}_vis_est_bn1t"] = merge_query_chunks(t_emit["vis"], self._n_queries)
             if tcfg.estimate_depth:
-                emit[f"{tname}_depth_est_bn1t"] = merge(t_emit["depth"])
+                emit[f"{tname}_depth_est_bn1t"] = merge_query_chunks(
+                    t_emit["depth"], self._n_queries
+                )
 
         return new_carry, emit
 
@@ -527,6 +537,10 @@ class StreamingL4P:
             raise RuntimeError("session already flushed")
         rgb = np.asarray(rgb_u8_bthw3)
         assert rgb.dtype == np.uint8 and rgb.ndim == 5, "push expects (B,t,H,W,3) uint8"
+        if self._has_intr is None:
+            self._has_intr = intrinsics_b44t is not None
+        elif self._has_intr != (intrinsics_b44t is not None):
+            raise ValueError("intrinsics must come with every push or never")
         self._frames.append(rgb)
         self._intr.append(
             None if intrinsics_b44t is None else np.asarray(intrinsics_b44t)
@@ -542,14 +556,12 @@ class StreamingL4P:
         """Assemble frames [start, start+length) from the chunk list."""
         rgb_parts, intr_parts = [], []
         off = self._frame0_abs()
-        need_intr = any(i is not None for i in self._intr)
         for rgb, intr in zip(self._frames, self._intr):
             t = rgb.shape[1]
             lo, hi = max(start - off, 0), min(start + length - off, t)
             if lo < hi:
                 rgb_parts.append(rgb[:, lo:hi])
-                if need_intr:
-                    assert intr is not None, "intrinsics must come with every push or never"
+                if self._has_intr:
                     intr_parts.append(intr[:, :, :, lo:hi])
             off += t
         rgb_w = np.concatenate(rgb_parts, axis=1)
@@ -606,11 +618,21 @@ class StreamingL4P:
             "frames": [f.copy() for f in self._frames],
             "intr": [None if i is None else i.copy() for i in self._intr],
             "flushed": self._flushed,
+            "has_intr": self._has_intr,
+            # the PRNG key seeds the Sim(3)/camray RANSAC folds — a resume
+            # under a different key would silently diverge from the
+            # uninterrupted stream, so the snapshot pins it
+            "key": np.asarray(self.key),
         }
 
     def set_state(self, state: Dict) -> None:
         """Restore a get_state() snapshot (params/cfg/tasks/queries must match
-        the ones the session was constructed with)."""
+        the ones the session was constructed with; the PRNG key is verified)."""
+        if not np.array_equal(np.asarray(self.key), state["key"]):
+            raise ValueError(
+                "snapshot was taken under a different PRNG key — construct "
+                "the session with the same key to resume bit-identically"
+            )
         self._carry = (
             None
             if state["carry"] is None
@@ -621,6 +643,7 @@ class StreamingL4P:
         self._frames = [f.copy() for f in state["frames"]]
         self._intr = [None if i is None else i.copy() for i in state["intr"]]
         self._flushed = state["flushed"]
+        self._has_intr = state["has_intr"]
 
     def flush(self) -> Optional[Dict[str, jnp.ndarray]]:
         """Emit the final window's tail (`ws - stride` frames). Raises if
@@ -628,15 +651,17 @@ class StreamingL4P:
         the offline forward asserts (models/l4p.py:encode_windows)."""
         if self._flushed:
             return None
-        self._flushed = True
         if self._w == 0:
             raise ValueError(f"no window completed ({self._buf_t} frames < {self.ws})")
         leftover = self._buf_t - ((self._w - 1) * self.stride + self.ws)
         if leftover:
+            # raise BEFORE marking flushed: the caller can push padding
+            # frames (as the error says) and flush again
             raise ValueError(
                 f"{leftover} trailing frames do not tile the window grid "
                 f"(window {self.ws} / stride {self.stride}); pad the stream"
             )
+        self._flushed = True
         s = self.stride
         carry = self._carry
         heads = self.cfg.head_dict
@@ -654,14 +679,11 @@ class StreamingL4P:
             emit["flow_2d_backward_est_b2thw"] = carry["flow_prev"][:, :, s:]
         if self._track_chunks is not None:
             tname = self.cfg.track.task_name
-
-            def merge(v: jnp.ndarray) -> jnp.ndarray:
-                m = jnp.moveaxis(v, 0, 1)
-                m = m.reshape((m.shape[0], m.shape[1] * m.shape[2]) + m.shape[3:])
-                return m[:, : self._n_queries]
-
-            emit[f"{tname}_traj_est_bn2t"] = merge(carry["track"]["traj"][..., s:])
-            emit[f"{tname}_vis_est_bn1t"] = merge(carry["track"]["vis"][..., s:])
+            n = self._n_queries
+            emit[f"{tname}_traj_est_bn2t"] = merge_query_chunks(carry["track"]["traj"][..., s:], n)
+            emit[f"{tname}_vis_est_bn1t"] = merge_query_chunks(carry["track"]["vis"][..., s:], n)
             if self.cfg.track.estimate_depth:
-                emit[f"{tname}_depth_est_bn1t"] = merge(carry["track"]["depth"][..., s:])
+                emit[f"{tname}_depth_est_bn1t"] = merge_query_chunks(
+                    carry["track"]["depth"][..., s:], n
+                )
         return emit

@@ -136,7 +136,40 @@ def test_streaming_tiling_contract():
     cfg = tiny_cfg()
     params = init_l4p_params(cfg, jax.random.PRNGKey(0))
     data = _u8_data(9, N=3)  # 9 frames: 3 windows consume 8, 1 frame left over
+    rgb = np.asarray(data["rgb_u8_bthw3"])
+    intr = np.asarray(data["intrinsics_b44t"])
     s = StreamingL4P(params, cfg, ("dyn_mask",))
-    s.push(np.asarray(data["rgb_u8_bthw3"]), np.asarray(data["intrinsics_b44t"]))
+    s.push(rgb, intr)
     with pytest.raises(ValueError, match="tile the window grid"):
         s.flush()
+    # the failed flush must NOT brick the session: pad as the error says,
+    # then flush successfully
+    s.push(rgb[:, -1:], intr[:, :, :, -1:])
+    tail = s.flush()
+    assert tail is not None and "dyn_mask_est_b1thw" in tail
+
+
+def test_streaming_intrinsics_all_or_nothing():
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = _u8_data(8, N=3)
+    rgb = np.asarray(data["rgb_u8_bthw3"])
+    intr = np.asarray(data["intrinsics_b44t"])
+    s = StreamingL4P(params, cfg, ("dyn_mask",))
+    s.push(rgb[:, :6], intr[:, :, :, :6])
+    # a mid-stream intrinsics drop would silently flip the camray K source;
+    # it must error even after earlier chunks were trimmed from the buffer
+    with pytest.raises(ValueError, match="every push or never"):
+        s.push(rgb[:, 6:])
+
+
+def test_streaming_resume_requires_same_key():
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = _u8_data(6, N=3)
+    s = StreamingL4P(params, cfg, ("dyn_mask",), key=jax.random.PRNGKey(7))
+    s.push(np.asarray(data["rgb_u8_bthw3"]), np.asarray(data["intrinsics_b44t"]))
+    state = s.get_state()
+    s2 = StreamingL4P(params, cfg, ("dyn_mask",))  # default key != 7
+    with pytest.raises(ValueError, match="different PRNG key"):
+        s2.set_state(state)

@@ -157,5 +157,9 @@ def test_track_windowed_parity():
     out = track_forward_windowed(
         params, cfg, enc_w, jnp.asarray(queries), jnp.asarray(labels), window_stride=STRIDE
     )
+    # 1e-4 is deliberate: the old 5e-3 masked a real divergence (input
+    # queries not yet valid in a window got label 0 instead of the
+    # reference's 1, perturbing the attend_to_past memory); with the
+    # reference's label overwrite order the error is fp32 noise (~4e-6)
     for k in ["track_2d_traj_est_bn2t", "track_2d_vis_est_bn1t", "track_2d_depth_est_bn1t"]:
-        np.testing.assert_allclose(np.asarray(out[k]), ref[k].numpy(), rtol=5e-3, atol=5e-3, err_msg=k)
+        np.testing.assert_allclose(np.asarray(out[k]), ref[k].numpy(), rtol=1e-4, atol=1e-4, err_msg=k)
