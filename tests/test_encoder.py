@@ -111,7 +111,15 @@ def test_init_params_shapes():
 
 @pytest.mark.slow
 def test_encoder_giant_one_window_parity():
-    """Full ViT-giant single-window parity (BASELINE config[0] scale)."""
+    """Full ViT-giant single-window parity (BASELINE config[0] scale).
+
+    Tolerance is backend-dependent: on CPU (fp32, highest matmul precision,
+    XLA mha) the measured error is ~2e-5; under L4P_TEST_TPU=1 the Pallas
+    flash kernel's internal bf16 passes dominate (~1.8e-3 measured on a real
+    v5e, scripts/verify_flash_tpu.py)."""
+    import os
+
+    tol = 2e-3 if os.environ.get("L4P_TEST_TPU") else 2e-4
     cfg = GIANT
     enc = make_ref_encoder(cfg, seed=1)
     rng = np.random.default_rng(1)
@@ -122,5 +130,5 @@ def test_encoder_giant_one_window_parity():
     out = encoder_apply(params, jnp.asarray(x), cfg, hooks=[14, 21, 28, 36])
     for hook, ours in zip([14, 21, 28, 36], out["hooks"]):
         ref = feats_ref[hook].numpy()
-        np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3, atol=2e-3, err_msg=f"hook {hook}")
-    np.testing.assert_allclose(np.asarray(out["final"]), feats_ref[-1].numpy(), rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=tol, atol=tol, err_msg=f"hook {hook}")
+    np.testing.assert_allclose(np.asarray(out["final"]), feats_ref[-1].numpy(), rtol=tol, atol=tol)

@@ -44,9 +44,9 @@ def test_encode_windows_u8_path_matches_float():
     ref = encode_windows(params, cfg, x)
     out = encode_windows(params, cfg, None, rgb_u8_bthw3=jnp.asarray(u8))
     np.testing.assert_allclose(
-        np.asarray(out["final"]), np.asarray(ref["final"]), rtol=2e-3, atol=2e-3
+        np.asarray(out["final"]), np.asarray(ref["final"]), rtol=1e-4, atol=1e-4
     )
     for h in ref["hooks"]:
         np.testing.assert_allclose(
-            np.asarray(out["hooks"][h]), np.asarray(ref["hooks"][h]), rtol=2e-3, atol=2e-3
+            np.asarray(out["hooks"][h]), np.asarray(ref["hooks"][h]), rtol=1e-4, atol=1e-4
         )

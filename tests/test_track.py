@@ -90,7 +90,7 @@ def test_track_forward_parity():
         "track_2d_prompt_features_bnc",
     ]:
         np.testing.assert_allclose(
-            np.asarray(out[key]), ref[key].numpy(), rtol=5e-3, atol=5e-3, err_msg=key
+            np.asarray(out[key]), ref[key].numpy(), rtol=1e-4, atol=1e-4, err_msg=key
         )
     # we project only the kept (last te/2 tubelet-step) slice of the token
     # memory — the projection is per-token, so it must equal the same slice
@@ -103,7 +103,7 @@ def test_track_forward_parity():
     )
     np.testing.assert_allclose(
         np.asarray(out["track_2d_enc_history_kept_bnpc"]), ref_kept,
-        rtol=5e-3, atol=5e-3, err_msg="kept token memory",
+        rtol=1e-4, atol=1e-4, err_msg="kept token memory",
     )
 
 
@@ -134,8 +134,8 @@ def test_track_forward_label_variants():
     np.testing.assert_allclose(
         np.asarray(out["track_2d_traj_est_bn2t"]),
         ref["track_2d_traj_est_bn2t"].numpy(),
-        rtol=5e-3,
-        atol=5e-3,
+        rtol=1e-4,
+        atol=1e-4,
     )
 
 
@@ -165,6 +165,6 @@ def test_track_forward_per_query_features():
     np.testing.assert_allclose(
         np.asarray(out["track_2d_traj_est_bn2t"]),
         ref["track_2d_traj_est_bn2t"].numpy(),
-        rtol=5e-3,
-        atol=5e-3,
+        rtol=1e-4,
+        atol=1e-4,
     )

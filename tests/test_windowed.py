@@ -114,7 +114,7 @@ def test_dense_windowed_parity(kind):
         ours = stitch_overwrite(w_outs, STRIDE, T_TOTAL, flow_skip=True)
     else:
         ours = stitch_overwrite(w_outs, STRIDE, T_TOTAL)
-    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-4)
 
 
 def test_track_windowed_parity():
