@@ -253,13 +253,39 @@ def prepare_model(
 
 
 def load_video_encoder_ckpt(enc_params: Dict, path: str, enc_cfg, dtype=jnp.bfloat16) -> Dict:
-    """Encoder-only init from a torch checkpoint, strict=False analog
+    """Encoder-only init from a checkpoint, strict=False analog
     (reference l4p_videomae.py:187-191): present tensors overlay the init,
-    missing ones keep it, extras are ignored. Accepts raw state dicts or the
-    usual {'state_dict'|'model'|'module': ...} wrappers."""
+    missing ones keep it, extras are ignored. Accepts torch checkpoints (raw
+    state dicts or the usual {'state_dict'|'model'|'module': ...} wrappers)
+    AND orbax directories in our own pytree layout — the output of
+    scripts/pretrain_mae.py ({'encoder': ...}), closing the
+    pretrain -> finetune loop without a torch round-trip."""
+    import os
+
     import torch
 
     from l4p_tpu.checkpoint import convert_encoder_lenient
+
+    if os.path.isdir(path):
+        from l4p_tpu import checkpoint_io
+
+        tree = checkpoint_io.load(path)
+        for key in ("encoder", "video_encoder"):
+            if isinstance(tree, dict) and key in tree:
+                tree = tree[key]
+                break
+
+        def overlay(dst, src):
+            if isinstance(dst, dict):
+                return {
+                    k: overlay(v, src[k]) if isinstance(src, dict) and k in src else v
+                    for k, v in dst.items()
+                }
+            if src is not None and getattr(src, "shape", None) == dst.shape:
+                return jnp.asarray(src, dtype)
+            return dst  # shape mismatch / missing: keep the init (strict=False)
+
+        return overlay(enc_params, tree)
 
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     for key in ("state_dict", "model", "module"):
