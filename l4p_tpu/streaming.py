@@ -599,6 +599,25 @@ class StreamingL4P:
         self._trim()
         return emit
 
+    def warmup(self, batch_size: int = 1, with_intrinsics: bool = True) -> None:
+        """Compile both jit variants (first-window and steady-state) on dummy
+        frames before accepting traffic, then reset the session. The variants
+        are shape- and signature-specialized: warm with the SAME batch size
+        and the same with/without-intrinsics choice production will use."""
+        state = self.get_state()
+        try:
+            ws, stride = self.ws, self.stride
+            rgb = np.zeros((batch_size, ws + stride, self.h, self.w, 3), np.uint8)
+            intr = None
+            if with_intrinsics:
+                intr = np.broadcast_to(
+                    np.eye(4, dtype=np.float32)[None, :, :, None],
+                    (batch_size, 4, 4, ws + stride),
+                ).copy()
+            self.push(rgb, intr)  # completes window 0 AND one steady window
+        finally:
+            self.set_state(state)
+
     # -- checkpoint / resume (failure recovery for long-running streams) ----
 
     def get_state(self) -> Dict:

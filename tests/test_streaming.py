@@ -163,6 +163,26 @@ def test_streaming_intrinsics_all_or_nothing():
         s.push(rgb[:, 6:])
 
 
+def test_streaming_warmup_is_state_transparent():
+    """warmup() compiles both jit variants on dummy frames and restores the
+    session; a subsequent stream equals the never-warmed run."""
+    cfg = tiny_cfg()
+    params = init_l4p_params(cfg, jax.random.PRNGKey(0))
+    data = _u8_data(8, N=3, seed=5)
+    tasks = ("depth", "dyn_mask", "track_2d")
+    ref = _stream_all(cfg, params, data, tasks, chunks=[8])
+
+    s = StreamingL4P(params, cfg, tasks, queries_bn3=data["track_2d_pointquerries_bn3"])
+    s.warmup()
+    emits = s.push(np.asarray(data["rgb_u8_bthw3"]), np.asarray(data["intrinsics_b44t"]))
+    emits.append(s.flush())
+    got = assemble_emissions(emits)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5, err_msg=k
+        )
+
+
 def test_streaming_resume_requires_same_key():
     cfg = tiny_cfg()
     params = init_l4p_params(cfg, jax.random.PRNGKey(0))
