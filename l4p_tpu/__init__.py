@@ -16,3 +16,11 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# curated public API — the surfaces docs/serving.md and the README teach.
+# Submodules import each other directly (never package attributes), so these
+# re-exports create no cycles.
+from l4p_tpu.config import init_l4p_params, load_model_config, prepare_model  # noqa: E402,F401
+from l4p_tpu.inference import InferenceSession, get_forward_fn, run_sequence  # noqa: E402,F401
+from l4p_tpu.models.l4p import L4PConfig, l4p_forward  # noqa: E402,F401
+from l4p_tpu.streaming import StreamingL4P, assemble_emissions  # noqa: E402,F401
