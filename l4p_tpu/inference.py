@@ -45,6 +45,18 @@ class InferenceSession:
 
         self.cfg = cfg
         self.tasks = tuple(tasks)
+        # Unrolled encoder blocks for the session's encode stage: on-chip
+        # (v5e) the giant window drops 54.3 -> 48.1 ms/window because the
+        # lax.scan's per-step dynamic-slice param copies (~50 MB/block) go
+        # away (scripts/exp_encoder_variants.py). Numerically transparent
+        # (tests/test_encoder_options.py); costs ~38 s of extra cold compile
+        # on the encoder module only, paid once across operating points.
+        # matmul_out_compute_dtype measured a wash on chip (54.8 ms) — off.
+        enc_cfg = cfg
+        if not cfg.encoder.unroll_blocks:
+            enc_cfg = dataclasses.replace(
+                cfg, encoder=dataclasses.replace(cfg.encoder, unroll_blocks=True)
+            )
         self.key = jax.random.PRNGKey(0) if key is None else key
         heads = cfg.head_dict
         ws, stride = cfg.window_size[0], cfg.window_stride_t
@@ -60,7 +72,7 @@ class InferenceSession:
         self._enc_keys = _ENC_KEYS
         self._enc = jax.jit(
             lambda p, d: L.encode_windows(
-                p, cfg, d.get("rgb_b3thw"), d.get("intrinsics_b44t"),
+                p, enc_cfg, d.get("rgb_b3thw"), d.get("intrinsics_b44t"),
                 d.get("extrinsics_b44t"), rgb_u8_bthw3=d.get("rgb_u8_bthw3"),
             )
         )
