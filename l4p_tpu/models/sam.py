@@ -357,66 +357,12 @@ def _twoway_block_factored(
     return queries, keys
 
 
-def _twoway_block_fused(
-    p: Dict,
-    cfg: SamConfig,
-    queries: jnp.ndarray,
-    keys: jnp.ndarray,
-    query_pe: jnp.ndarray,
-    pe_pc: jnp.ndarray,  # (P, C) raw image PE, pre-projection
-    skip_first_layer_pe: bool,
-    interpret: bool = False,
-):
-    """TwoWayAttentionBlock with the image-side halves as fused Pallas
-    kernels (ops/fused_twoway.py): token->image k/v projection + flash
-    softmax in one keys read; image->token q proj + softmax + out proj +
-    residual + LayerNorm in one keys read/write. Token-side ops (self-attn,
-    MLP, tiny projections) stay in XLA. Same math as _twoway_block."""
-    from l4p_tpu.ops.fused_twoway import i2t_block, t2i_attention
-
-    nh = cfg.num_heads
-    eps = 1e-5
-    if skip_first_layer_pe:
-        queries = _attn_apply(p["self_attn"], queries, queries, queries, nh)
-    else:
-        queries = queries + _attn_apply(
-            p["self_attn"], queries, queries, queries, nh, q_pe=query_pe, k_pe=query_pe
-        )
-    queries = layer_norm(queries, p["norm1"]["weight"], p["norm1"]["bias"], eps)
-
-    ca = p["cross_attn_token_to_image"]
-    q = _proj_q_with_pe(ca["q_proj"], queries, query_pe)
-    attn = t2i_attention(
-        keys, q, ca["k_proj"]["weight"], ca["k_proj"]["bias"],
-        ca["v_proj"]["weight"], ca["v_proj"]["bias"], pe_pc, nh, interpret,
-    )
-    queries = queries + linear(attn, ca["out_proj"]["weight"], ca["out_proj"]["bias"])
-    queries = layer_norm(queries, p["norm2"]["weight"], p["norm2"]["bias"], eps)
-
-    h = linear(queries, p["mlp"]["lin1"]["weight"], p["mlp"]["lin1"]["bias"])
-    h = jax.nn.relu(h)
-    h = linear(h, p["mlp"]["lin2"]["weight"], p["mlp"]["lin2"]["bias"])
-    queries = layer_norm(queries + h, p["norm3"]["weight"], p["norm3"]["bias"], eps)
-
-    cb = p["cross_attn_image_to_token"]
-    k_tok = _proj_q_with_pe(cb["k_proj"], queries, query_pe)
-    v_tok = linear(queries, cb["v_proj"]["weight"], cb["v_proj"]["bias"])
-    keys = i2t_block(
-        keys, k_tok, v_tok, cb["q_proj"]["weight"], cb["q_proj"]["bias"], pe_pc,
-        cb["out_proj"]["weight"], cb["out_proj"]["bias"],
-        p["norm4"]["weight"], p["norm4"]["bias"], nh, eps, interpret,
-    )
-    return queries, keys
-
-
 def twoway_transformer_apply(
     params: Dict,
     cfg: SamConfig,
     image_embedding: jnp.ndarray,  # (N, P, C)
     image_pe: jnp.ndarray,  # (N, P, C) or (1, P, C) query-broadcast
     point_embedding: jnp.ndarray,  # (N, Q, C)
-    force_fused: Optional[bool] = None,
-    interpret: bool = False,
     impl: Optional[str] = None,
 ):
     """(transformer.py:67-111). Returns (queries (N,Q,C), keys (N,P,C)).
@@ -425,21 +371,15 @@ def twoway_transformer_apply(
     * 'factored' (default): every image-side projection reassociated through
       the ~6-token bottleneck (see _t2i_factored) — ~14x fewer FLOPs than
       projecting the (N, P, C) keys, pure XLA, runs everywhere;
-    * 'fused': Pallas kernels (ops/fused_twoway.py) that project the keys in
-      VMEM tiles (single-TPU only) — kept for comparison, superseded by
-      'factored' on the chip;
     * 'naive': the direct transcription with full image-side projections —
-      the parity oracle for the other two.
-    `force_fused` (True->'fused', False->'naive') is the legacy test knob."""
+      the parity oracle for 'factored'.
+    (A third Pallas 'fused' path existed in round 3 and was deleted after the
+    factored path beat it on chip — 14.98 vs 20.8 ms at N=64; see PARITY.md
+    "two-way transformer implementations".)"""
     queries = point_embedding
     keys = image_embedding
     if impl is None:
-        if force_fused is True:
-            impl = "fused"
-        elif force_fused is False:
-            impl = "naive"
-        else:
-            impl = "factored" if image_pe.shape[0] == 1 else "naive"
+        impl = "factored" if image_pe.shape[0] == 1 else "naive"
 
     if impl == "factored":
         pe_pc = image_pe[0]  # query-broadcast by construction
@@ -452,22 +392,6 @@ def twoway_transformer_apply(
             params["final_attn_token_to_image"], queries, keys, point_embedding, pe_pc,
             cfg.num_heads,
         )
-    elif impl == "fused":
-        pe_pc = image_pe[0]
-        for i, layer in enumerate(params["layers"]):
-            queries, keys = _twoway_block_fused(
-                layer, cfg, queries, keys, point_embedding, pe_pc,
-                skip_first_layer_pe=(i == 0), interpret=interpret,
-            )
-        from l4p_tpu.ops.fused_twoway import t2i_attention
-
-        fa = params["final_attn_token_to_image"]
-        q = _proj_q_with_pe(fa["q_proj"], queries, point_embedding)
-        attn_out = t2i_attention(
-            keys, q, fa["k_proj"]["weight"], fa["k_proj"]["bias"],
-            fa["v_proj"]["weight"], fa["v_proj"]["bias"], pe_pc, cfg.num_heads, interpret,
-        )
-        attn_out = linear(attn_out, fa["out_proj"]["weight"], fa["out_proj"]["bias"])
     else:
         for i, layer in enumerate(params["layers"]):
             queries, keys = _twoway_block(
