@@ -97,18 +97,30 @@ def _measure_point(args, frames, queries, params_cache={}):
     dt = (time.time() - t0) / args.iters
 
     fps = t / dt
+    detail = {
+        "frames": t,
+        "seconds_per_video": round(dt, 3),
+        "compile_seconds": round(compile_s, 1),
+        "tasks": list(tasks),
+        "device": str(jax.devices()[0]),
+    }
+    # analytic matmul-FLOPs + MFU (utils/flops.py): how much of the chip's
+    # bf16 peak the whole video actually uses — the honest "is it fast" line
+    from l4p_tpu.utils.flops import alltask_video_flops, device_peak_flops, mfu
+
+    stages = alltask_video_flops(cfg, tasks, t, queries if "track_2d" in tasks else 0)
+    peak = device_peak_flops()
+    detail["model_tflops_per_video"] = round(stages["total"] / 1e12, 2)
+    u = mfu(stages["total"], dt, peak)
+    if u is not None:
+        detail["mfu"] = round(u, 4)
+        detail["encoder_tflops_per_video"] = round(stages["encoder"] / 1e12, 2)
     return {
         "metric": f"all_task_fps_per_chip_{t}f_{queries}q",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
-        "detail": {
-            "frames": t,
-            "seconds_per_video": round(dt, 3),
-            "compile_seconds": round(compile_s, 1),
-            "tasks": list(tasks),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
 
 

@@ -88,6 +88,17 @@ def main():
     def rep(name, seconds, **extra):
         print(json.dumps({"point": name, "ms": round(seconds * 1e3, 2), **extra}), flush=True)
 
+    # analytic per-stage FLOPs -> per-stage MFU on the marginal timings
+    from l4p_tpu.utils.flops import alltask_video_flops, device_peak_flops, mfu
+
+    all_tasks = ("flow_2d_backward", "track_2d", "depth", "dyn_mask", "camray")
+    stage_flops = alltask_video_flops(cfg, all_tasks, t, n)
+    peak = device_peak_flops()
+
+    def _mfu(flops, seconds):
+        u = mfu(flops, seconds, peak)
+        return None if u is None else round(u, 3)
+
     # -- encoder-only baseline (same graph prefix every task point shares)
     enc_fn = jax.jit(
         lambda p, d: encode_windows(
@@ -96,7 +107,7 @@ def main():
         )
     )
     t_enc = time_fn(enc_fn, params, data, iters=args.iters)
-    rep("encoder_only", t_enc, windows=nw)
+    rep("encoder_only", t_enc, windows=nw, mfu=_mfu(stage_flops["encoder"], t_enc))
 
     # -- single-task forwards (encoder + head + stitch, the real composition)
     singles = {}
@@ -104,7 +115,9 @@ def main():
         fwd = jax.jit(lambda p, d, tt=(task,): l4p_forward(p, cfg, d, tt, key=jax.random.PRNGKey(0)))
         dt = time_fn(fwd, params, data, iters=args.iters)
         singles[task] = dt
-        rep(f"enc+{task}", dt, marginal_ms=round((dt - t_enc) * 1e3, 2))
+        sf = stage_flops.get("track" if task == "track_2d" else f"dense/{task}")
+        rep(f"enc+{task}", dt, marginal_ms=round((dt - t_enc) * 1e3, 2),
+            marginal_mfu=None if sf is None else _mfu(sf, dt - t_enc))
 
     # -- joint depth+camray (the production Sim(3) path)
     fwd_joint = jax.jit(
@@ -123,7 +136,9 @@ def main():
     # in the all-task graph depth+camray run jointly; use the joint marginal
     sum_marg = marg["flow_2d_backward"] + marg["dyn_mask"] + marg["track_2d"] + (t_joint - t_enc)
     rep("all_task", t_all, fps=round(t / t_all, 1),
-        unattributed_ms=round((t_all - t_enc - sum_marg) * 1e3, 2))
+        unattributed_ms=round((t_all - t_enc - sum_marg) * 1e3, 2),
+        mfu=_mfu(stage_flops["total"], t_all),
+        model_tflops=round(stage_flops["total"] / 1e12, 2))
 
     # -- isolated hot sub-blocks (for the roofline table)
     # the camray head emits rays at its configured output_size (16x16 grid,
