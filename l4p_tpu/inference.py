@@ -31,14 +31,20 @@ class InferenceSession:
     r2 item 9); the split session's cold compile is the sum. Runtime is
     unchanged: stages chain through on-device arrays with async dispatch, no
     host syncs, and the TPU executes one program at a time anyway. Outputs
-    are verified identical to l4p_forward (tests/test_inference.py).
+    match l4p_forward bitwise in fp32 and within 1e-5 under bf16/XLA
+    refusion (tests/test_inference.py, tests/test_encoder_options.py).
 
     Supports the production path: forward-direction tracking, no mesh,
     >=2 stackable dense heads. `supported()` gates construction;
     get_forward_fn falls back to the monolithic jit otherwise.
+
+    `unroll_encoder`: None (default) unrolls the encoder blocks in the
+    session's encode stage (the on-chip win, see __init__ body); False keeps
+    the config's own `encoder.unroll_blocks` — use it to skip the ~38 s
+    extra cold compile on one-off runs or to debug the lax.scan path.
     """
 
-    def __init__(self, cfg, tasks: Sequence[str], key=None):
+    def __init__(self, cfg, tasks: Sequence[str], key=None, unroll_encoder=None):
         import dataclasses
 
         from l4p_tpu.models import l4p as L
@@ -48,12 +54,15 @@ class InferenceSession:
         # Unrolled encoder blocks for the session's encode stage: on-chip
         # (v5e) the giant window drops 54.3 -> 48.1 ms/window because the
         # lax.scan's per-step dynamic-slice param copies (~50 MB/block) go
-        # away (scripts/exp_encoder_variants.py). Numerically transparent
+        # away (scripts/exp_encoder_variants.py). Numerically transparent in
+        # fp32; within 1e-5 under bf16 XLA refusion
         # (tests/test_encoder_options.py); costs ~38 s of extra cold compile
         # on the encoder module only, paid once across operating points.
         # matmul_out_compute_dtype measured a wash on chip (54.8 ms) — off.
         enc_cfg = cfg
-        if not cfg.encoder.unroll_blocks:
+        if unroll_encoder is None:
+            unroll_encoder = True
+        if unroll_encoder and not cfg.encoder.unroll_blocks:
             enc_cfg = dataclasses.replace(
                 cfg, encoder=dataclasses.replace(cfg.encoder, unroll_blocks=True)
             )

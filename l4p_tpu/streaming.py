@@ -532,11 +532,29 @@ class StreamingL4P:
     ) -> List[Dict[str, jnp.ndarray]]:
         """Append frames; run every window that becomes complete. Returns one
         emission dict per completed window, each covering `stride` final
-        frames starting at emission['t0']."""
+        frames starting at emission['t0'].
+
+        The host-side frame buffer is bounded: every complete window is run
+        and consumed inside this call (`_run_next_window` -> `_trim`), so at
+        return the buffer holds at most `window + stride - 1` frames plus the
+        tail of the current push chunk — it cannot grow with stream length.
+        """
         if self._flushed:
             raise RuntimeError("session already flushed")
         rgb = np.asarray(rgb_u8_bthw3)
-        assert rgb.dtype == np.uint8 and rgb.ndim == 5, "push expects (B,t,H,W,3) uint8"
+        # hard exceptions, not asserts: this is the public serving surface
+        # and must validate under `python -O` too (docs/serving.md)
+        if rgb.dtype != np.uint8:
+            raise TypeError(f"push expects uint8 frames, got {rgb.dtype}")
+        if rgb.ndim != 5 or rgb.shape[-1] != 3:
+            raise ValueError(f"push expects (B,t,H,W,3), got shape {rgb.shape}")
+        if self._frames:
+            prev = self._frames[0]
+            if rgb.shape[0] != prev.shape[0] or rgb.shape[2:] != prev.shape[2:]:
+                raise ValueError(
+                    f"push shape {rgb.shape} disagrees with earlier frames "
+                    f"{prev.shape} on (B, H, W, C)"
+                )
         if self._has_intr is None:
             self._has_intr = intrinsics_b44t is not None
         elif self._has_intr != (intrinsics_b44t is not None):
