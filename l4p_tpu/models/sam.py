@@ -10,6 +10,7 @@ loop (sparse_heads.py:542-555) disappears; everything is one batched call.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -321,6 +322,168 @@ def _i2t_factored(
     return keys + out.astype(keys.dtype)
 
 
+# --- operand factories for the streaming Pallas kernels (ops/fused_keys) ---
+# Each returns exactly the tensors `_t2i_factored`/`_i2t_factored` would
+# contract against the (N, P, C) keys, flattened h-major to K = heads*Q so
+# the kernels never reshape lanes. The query-side tails are shared verbatim
+# with the factored path's math (same einsums, same precision flow).
+
+
+def _t2i_prep(p: Dict, queries, query_pe, pe_pc, num_heads: int):
+    """st (N, C, K) compute-dtype and spe (N, P, K) f32 = s . pe^T for
+    t2i_flash. Mirrors the s/logits construction of _t2i_factored."""
+    q = _proj_q_with_pe(p["q_proj"], queries, query_pe)  # (N, Q, D)
+    n, nq, d = q.shape
+    hd = d // num_heads
+    c = pe_pc.shape[-1]
+    qh = q.reshape(n, nq, num_heads, hd).transpose(0, 2, 1, 3) * hd ** -0.5
+    wk = p["k_proj"]["weight"].reshape(num_heads, hd, c)
+    s = jnp.einsum(
+        "nhqd,hdc->nhqc", qh, wk.astype(qh.dtype), preferred_element_type=jnp.float32
+    ).astype(qh.dtype)
+    s_flat = s.reshape(n, num_heads * nq, c)
+    spe = jnp.einsum(
+        "nkc,pc->npk", s_flat, pe_pc.astype(s_flat.dtype), preferred_element_type=jnp.float32
+    )
+    return s_flat.transpose(0, 2, 1), spe
+
+
+def _t2i_finish(p: Dict, wsum_f32, num_heads: int, out_dtype):
+    """wsum (N, K, C) f32 -> attention output (N, Q, D): the value-side and
+    out_proj tail of _t2i_factored (identical einsums + bias handling)."""
+    n, k, c = wsum_f32.shape
+    nq = k // num_heads
+    d = p["v_proj"]["weight"].shape[0]
+    hd = d // num_heads
+    wv = p["v_proj"]["weight"].reshape(num_heads, hd, c)
+    wsum = wsum_f32.astype(out_dtype).reshape(n, num_heads, nq, c)
+    outh = jnp.einsum(
+        "nhqc,hdc->nhqd", wsum, wv.astype(out_dtype), preferred_element_type=jnp.float32
+    )
+    outh = outh + p["v_proj"]["bias"].reshape(num_heads, 1, hd).astype(jnp.float32)
+    out = outh.astype(out_dtype).transpose(0, 2, 1, 3).reshape(n, nq, d)
+    return linear(out, p["out_proj"]["weight"], p["out_proj"]["bias"])
+
+
+def _i2t_prep(p: Dict, queries, query_pe, pe_pc, num_heads: int):
+    """Token-side operands for the fused i2t kernel: r (N, C, K),
+    per (N, P, K) f32 (pe-term + q-bias term), v2 (N, K, C) value-side
+    already through out_proj, ob (C,). Mirrors _i2t_factored."""
+    c = pe_pc.shape[-1]
+    k_tok = _proj_q_with_pe(p["k_proj"], queries, query_pe)  # (N, Q, D)
+    v_tok = linear(queries, p["v_proj"]["weight"], p["v_proj"]["bias"])
+    n, nq, d = k_tok.shape
+    hd = d // num_heads
+    kh = k_tok.reshape(n, nq, num_heads, hd).transpose(0, 2, 1, 3) * hd ** -0.5
+    vh = v_tok.reshape(n, nq, num_heads, hd).transpose(0, 2, 1, 3)
+    wq = p["q_proj"]["weight"].reshape(num_heads, hd, c)
+    bq = p["q_proj"]["bias"].reshape(num_heads, hd)
+
+    r4 = jnp.einsum(
+        "hdc,nhqd->nhcq", wq.astype(kh.dtype), kh, preferred_element_type=jnp.float32
+    ).astype(kh.dtype)
+    r = r4.transpose(0, 2, 1, 3).reshape(n, c, num_heads * nq)
+    bterm = jnp.einsum("hd,nhqd->nhq", bq.astype(jnp.float32), kh.astype(jnp.float32))
+    per = jnp.einsum(
+        "pc,nck->npk", pe_pc.astype(r.dtype), r, preferred_element_type=jnp.float32
+    ) + bterm.reshape(n, 1, num_heads * nq)
+
+    wo_h = p["out_proj"]["weight"].reshape(c, num_heads, hd).transpose(1, 2, 0)  # (h,dh,C)
+    v2 = jnp.einsum(
+        "nhqd,hdc->nhqc", vh, wo_h.astype(vh.dtype), preferred_element_type=jnp.float32
+    ).astype(vh.dtype).reshape(n, num_heads * nq, c)
+    return r, per, v2, p["out_proj"]["bias"]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _twoway_streamed(cfg: SamConfig, interpret: bool, params, queries, keys, query_pe, pe_pc):
+    """Full two-way transformer with the image side in streaming Pallas
+    kernels (ops/fused_keys): keys crosses HBM 5 times per window (3 reads,
+    2 writes) instead of the XLA factored path's ~12 passes.
+
+    Pass schedule — legal because everything between a layer's i2t and the
+    NEXT layer's t2i logits touches only the tiny query side:
+      1. layer-0 self-attn + norm1 (XLA)  ->  t2i_flash  (1 keys read)
+      2. per layer i: t2i tail + norm2 + MLP + norm3 (XLA), i2t operands,
+         next-t2i operands (layer i+1's self-attn + norm1, or the final
+         attention), then i2t_ln_t2i (1 read + 1 write) which emits the
+         fresh keys AND the next t2i weighted sum in the same pass.
+      3. final-attention tail + norm_final (XLA).
+
+    Math identical to the factored path (same reassociations; the online
+    softmax and f32 residual+LN are exact in fp32, bf16-noise otherwise).
+    Backward recomputes through the factored XLA path (flash-style), so
+    training never differentiates the kernels."""
+    from l4p_tpu.ops.fused_keys import group_sum_matrix, i2t_ln_t2i, t2i_flash
+
+    nh = cfg.num_heads
+    eps = 1e-5
+    layers = params["layers"]
+    nq = queries.shape[1]
+    g = group_sum_matrix(nh, nq)
+
+    p0 = layers[0]
+    queries = _attn_apply(p0["self_attn"], queries, queries, queries, nh)
+    queries = layer_norm(queries, p0["norm1"]["weight"], p0["norm1"]["bias"], eps)
+    st, spe = _t2i_prep(p0["cross_attn_token_to_image"], queries, query_pe, pe_pc, nh)
+    wsum = t2i_flash(keys, st, spe, interpret=interpret)
+
+    for i, p in enumerate(layers):
+        queries = queries + _t2i_finish(
+            p["cross_attn_token_to_image"], wsum, nh, queries.dtype
+        )
+        queries = layer_norm(queries, p["norm2"]["weight"], p["norm2"]["bias"], eps)
+        h = linear(queries, p["mlp"]["lin1"]["weight"], p["mlp"]["lin1"]["bias"])
+        h = jax.nn.relu(h)
+        h = linear(h, p["mlp"]["lin2"]["weight"], p["mlp"]["lin2"]["bias"])
+        queries = layer_norm(queries + h, p["norm3"]["weight"], p["norm3"]["bias"], eps)
+
+        r, per, v2, ob = _i2t_prep(
+            p["cross_attn_image_to_token"], queries, query_pe, pe_pc, nh
+        )
+        if i + 1 < len(layers):
+            pn = layers[i + 1]
+            queries = queries + _attn_apply(
+                pn["self_attn"], queries, queries, queries, nh,
+                q_pe=query_pe, k_pe=query_pe,
+            )
+            queries = layer_norm(queries, pn["norm1"]["weight"], pn["norm1"]["bias"], eps)
+            t2i_next = pn["cross_attn_token_to_image"]
+        else:
+            t2i_next = params["final_attn_token_to_image"]
+        st, spe = _t2i_prep(t2i_next, queries, query_pe, pe_pc, nh)
+        keys, wsum = i2t_ln_t2i(
+            keys, r, per, v2, g, ob,
+            p["norm4"]["weight"], p["norm4"]["bias"], st, spe,
+            eps=eps, interpret=interpret,
+        )
+
+    queries = queries + _t2i_finish(
+        params["final_attn_token_to_image"], wsum, nh, queries.dtype
+    )
+    queries = layer_norm(
+        queries, params["norm_final_attn"]["weight"], params["norm_final_attn"]["bias"], eps
+    )
+    return queries, keys
+
+
+def _twoway_streamed_fwd(cfg, interpret, params, queries, keys, query_pe, pe_pc):
+    out = _twoway_streamed(cfg, interpret, params, queries, keys, query_pe, pe_pc)
+    return out, (params, queries, keys, query_pe, pe_pc)
+
+
+def _twoway_streamed_bwd(cfg, interpret, res, cts):
+    params, queries, keys, query_pe, pe_pc = res
+    _, vjp = jax.vjp(
+        lambda pr, q, k, qpe, pe: _twoway_factored_full(pr, cfg, q, k, qpe, pe),
+        params, queries, keys, query_pe, pe_pc,
+    )
+    return vjp(cts)
+
+
+_twoway_streamed.defvjp(_twoway_streamed_fwd, _twoway_streamed_bwd)
+
+
 def _twoway_block_factored(
     p: Dict,
     cfg: SamConfig,
@@ -357,6 +520,31 @@ def _twoway_block_factored(
     return queries, keys
 
 
+def _twoway_factored_full(
+    params: Dict,
+    cfg: SamConfig,
+    queries: jnp.ndarray,
+    keys: jnp.ndarray,
+    query_pe: jnp.ndarray,
+    pe_pc: jnp.ndarray,
+):
+    """Whole transformer (layers + final attention + final LN) on the
+    factored XLA path. Also the recompute target of _twoway_streamed's VJP."""
+    for i, layer in enumerate(params["layers"]):
+        queries, keys = _twoway_block_factored(
+            layer, cfg, queries, keys, query_pe, pe_pc,
+            skip_first_layer_pe=(i == 0),
+        )
+    attn_out = _t2i_factored(
+        params["final_attn_token_to_image"], queries, keys, query_pe, pe_pc, cfg.num_heads
+    )
+    queries = queries + attn_out
+    queries = layer_norm(
+        queries, params["norm_final_attn"]["weight"], params["norm_final_attn"]["bias"], 1e-5
+    )
+    return queries, keys
+
+
 def twoway_transformer_apply(
     params: Dict,
     cfg: SamConfig,
@@ -368,39 +556,50 @@ def twoway_transformer_apply(
     """(transformer.py:67-111). Returns (queries (N,Q,C), keys (N,P,C)).
 
     `impl` selects the image-side strategy:
-    * 'factored' (default): every image-side projection reassociated through
-      the ~6-token bottleneck (see _t2i_factored) — ~14x fewer FLOPs than
-      projecting the (N, P, C) keys, pure XLA, runs everywhere;
+    * 'streamed' (default on a single TPU): the factored math with the keys
+      tensor streamed through two Pallas kernels — 5 HBM passes per window
+      instead of the XLA chain's ~12 (ops/fused_keys). 'streamed_interpret'
+      runs the same kernels in interpret mode (CPU parity tests).
+    * 'factored' (default elsewhere): every image-side projection
+      reassociated through the ~6-token bottleneck (see _t2i_factored) —
+      ~14x fewer FLOPs than projecting the (N, P, C) keys, pure XLA, runs
+      everywhere (CPU, GSPMD meshes) and is the streamed VJP's recompute.
     * 'naive': the direct transcription with full image-side projections —
-      the parity oracle for 'factored'.
-    (A third Pallas 'fused' path existed in round 3 and was deleted after the
+      the parity oracle for both.
+    (A Pallas 'fused' path existed in round 3 and was deleted after the
     factored path beat it on chip — 14.98 vs 20.8 ms at N=64; see PARITY.md
     "two-way transformer implementations".)"""
     queries = point_embedding
     keys = image_embedding
     if impl is None:
-        impl = "factored" if image_pe.shape[0] == 1 else "naive"
+        if image_pe.shape[0] == 1:
+            from l4p_tpu.ops.fused_keys import fused_keys_available
 
+            impl = (
+                "streamed"
+                if fused_keys_available(keys, cfg.num_heads, point_embedding.shape[1])
+                else "factored"
+            )
+        else:
+            impl = "naive"
+
+    if impl in ("streamed", "streamed_interpret"):
+        return _twoway_streamed(
+            cfg, impl == "streamed_interpret", params, queries, keys,
+            point_embedding, image_pe[0],
+        )
     if impl == "factored":
-        pe_pc = image_pe[0]  # query-broadcast by construction
-        for i, layer in enumerate(params["layers"]):
-            queries, keys = _twoway_block_factored(
-                layer, cfg, queries, keys, point_embedding, pe_pc,
-                skip_first_layer_pe=(i == 0),
-            )
-        attn_out = _t2i_factored(
-            params["final_attn_token_to_image"], queries, keys, point_embedding, pe_pc,
-            cfg.num_heads,
+        return _twoway_factored_full(
+            params, cfg, queries, keys, point_embedding, image_pe[0]
         )
-    else:
-        for i, layer in enumerate(params["layers"]):
-            queries, keys = _twoway_block(
-                layer, cfg, queries, keys, point_embedding, image_pe, skip_first_layer_pe=(i == 0)
-            )
-        attn_out = _attn_apply(
-            params["final_attn_token_to_image"], queries, keys, keys, cfg.num_heads,
-            q_pe=point_embedding, k_pe=image_pe,
+    for i, layer in enumerate(params["layers"]):
+        queries, keys = _twoway_block(
+            layer, cfg, queries, keys, point_embedding, image_pe, skip_first_layer_pe=(i == 0)
         )
+    attn_out = _attn_apply(
+        params["final_attn_token_to_image"], queries, keys, keys, cfg.num_heads,
+        q_pe=point_embedding, k_pe=image_pe,
+    )
     queries = queries + attn_out
     queries = layer_norm(
         queries, params["norm_final_attn"]["weight"], params["norm_final_attn"]["bias"], 1e-5

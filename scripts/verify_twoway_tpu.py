@@ -88,7 +88,7 @@ def main():
     ref_k = np.asarray(ref_k, np.float32)
 
     res = {}
-    for impl in ("naive", "factored"):
+    for impl in ("naive", "factored", "streamed"):
         fn = jax.jit(
             lambda tw_, i_, p_, t_, im=impl: twoway_transformer_apply(tw_, sam, i_, p_, t_, impl=im)
         )
@@ -110,7 +110,7 @@ def main():
             "first_call_s": round(build_s, 1),
         }), flush=True)
 
-    for a, b in (("factored", "naive"),):
+    for a, b in (("factored", "naive"), ("streamed", "factored")):
         dq = float(np.max(np.abs(res[a][0] - res[b][0])))
         dk = float(np.max(np.abs(res[a][1] - res[b][1])))
         print(json.dumps({f"{a}_vs_{b}_bf16_max_err": {"queries": round(dq, 5),
