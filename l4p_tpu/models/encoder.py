@@ -81,6 +81,9 @@ class EncoderConfig:
     #   flipped on).
     unroll_blocks: bool = False
     matmul_out_compute_dtype: bool = False
+    # run the mesh-path flash kernel in Pallas interpret mode — CPU-mesh
+    # equality tests only (tests/test_flash_sharded.py); never set on TPU
+    flash_interpret: bool = False
 
     @property
     def tokens_thw(self):
@@ -187,12 +190,22 @@ def patchify(x_b3thw: jnp.ndarray, w_flat: jnp.ndarray, b: jnp.ndarray, cfg: Enc
     return (out + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def _attention(q, k, v, scale: float, cfg: EncoderConfig):
-    if cfg.use_flash_attention:
-        from l4p_tpu.ops.flash_attention import attention_auto
+def _attention(q, k, v, scale: float, cfg: EncoderConfig, mesh=None):
+    if not cfg.use_flash_attention:
+        return mha(q, k, v, scale)
+    if mesh is not None:
+        # explicit shard_map wrapping: each device runs the kernel on its
+        # local (B/nd, H/nm, N, D) shard — see ops/flash_attention.py
+        from l4p_tpu.ops.flash_attention import (
+            _on_tpu, flash_attention_sharded, flash_sharded_available)
 
-        return attention_auto(q, k, v, scale)
-    return mha(q, k, v, scale)
+        interp = cfg.flash_interpret
+        if (interp or _on_tpu()) and flash_sharded_available(mesh, q.shape, k.shape[-2]):
+            return flash_attention_sharded(q, k, v, scale, mesh, interp)
+        return mha(q, k, v, scale)
+    from l4p_tpu.ops.flash_attention import attention_auto
+
+    return attention_auto(q, k, v, scale)
 
 
 def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
@@ -204,7 +217,7 @@ def _drop_path(x: jnp.ndarray, rate: jnp.ndarray, key: jax.Array) -> jnp.ndarray
     return x * (mask.astype(jnp.float32) / keep).astype(x.dtype)
 
 
-def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig, dp=None) -> jnp.ndarray:
+def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig, dp=None, mesh=None) -> jnp.ndarray:
     """One pre-LN transformer block (reference modeling_finetune.py:245-252):
     x + drop_path(gamma_1 * attn(ln(x))), x + drop_path(gamma_2 * mlp(ln(x))).
     gamma_1/gamma_2 exist only when init_values > 0 (:239-243 — the released
@@ -234,7 +247,7 @@ def _block(x: jnp.ndarray, p: Dict, cfg: EncoderConfig, dp=None) -> jnp.ndarray:
         logit_scale = jnp.exp(jnp.minimum(p["attn_scale"].astype(jnp.float32), 4.6052))  # (H,1,1)
         attn_out = mha(qn * logit_scale[None].astype(x.dtype), kn, qkv[2], scale=1.0)
     else:
-        attn_out = _attention(qkv[0], qkv[1], qkv[2], hd ** -0.5, cfg)
+        attn_out = _attention(qkv[0], qkv[1], qkv[2], hd ** -0.5, cfg, mesh)
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, N, E)
     proj = jnp.einsum("bne,fe->bnf", attn_out, p["proj_w"].astype(x.dtype), preferred_element_type=pet)
     branch = (proj + p["proj_b"].astype(bdt)).astype(x.dtype)
@@ -302,6 +315,7 @@ def encoder_apply(
     extrinsics_b44t: Optional[jnp.ndarray] = None,
     tokens_bne: Optional[jnp.ndarray] = None,
     drop_path_key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the encoder, returning only what the heads consume.
 
@@ -341,7 +355,7 @@ def encoder_apply(
     if 0 in hooks:
         feats[0] = x
 
-    raw_block = lambda x_, p_, dp_=None: _block(x_, p_, cfg, dp_)
+    raw_block = lambda x_, p_, dp_=None: _block(x_, p_, cfg, dp_, mesh)
     block_fn = jax.checkpoint(raw_block) if cfg.remat_blocks else raw_block
 
     # stochastic depth (training only): per-block rates linearly spaced

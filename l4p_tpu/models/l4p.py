@@ -165,17 +165,6 @@ def encode_windows(
     the embarrassingly parallel multi-chip inference path (windows have no
     cross-dependence until stitching).
     """
-    if mesh is not None and cfg.encoder.use_flash_attention:
-        # A pallas_call has no registered GSPMD partitioning rule: under the
-        # window-sharded vmap below, XLA may insert a full re-gather around
-        # the kernel (or fail on real multi-chip hardware) instead of running
-        # it per-shard. XLA attention partitions cleanly, so under a mesh we
-        # fall back to `mha` until the kernel is shard_map-wrapped and
-        # verified on real multi-chip hardware (single-chip never hits this:
-        # mesh is None on the bench/demo path).
-        cfg = dataclasses.replace(
-            cfg, encoder=dataclasses.replace(cfg.encoder, use_flash_attention=False)
-        )
     if rgb_u8_bthw3 is not None:
         b, t, h, w = rgb_u8_bthw3.shape[:4]
     else:
@@ -227,7 +216,7 @@ def encode_windows(
 
     is_tokens = rgb_u8_bthw3 is not None
 
-    def enc_one(xs):
+    def enc_one(xs, enc_mesh=None):
         xw = xs[0]
         kw = xs[1] if use_cam else None
         ew = xs[2] if use_cam else None
@@ -235,15 +224,29 @@ def encode_windows(
             enc_params, None if is_tokens else xw, cfg.encoder, hooks=hooks, want_final=True,
             intrinsics_b44t=kw, extrinsics_b44t=ew,
             tokens_bne=xw if is_tokens else None,
+            mesh=enc_mesh,
         )
         return {"hooks": out["hooks"], "final": out["final"]}
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # Merge the window axis into batch — every encoder op is
+        # batch-independent, so (nw, B, ...) -> (nw*B, ...) is exact, GSPMD
+        # shards the merged axis over 'data' exactly like the old
+        # window-vmap did, and (unlike under a vmap) the flash kernel's
+        # shard_map sees the true global shapes (encoder.py:_attention).
         spec = NamedSharding(mesh, P("data"))
-        inputs = tuple(jax.lax.with_sharding_constraint(x, spec) for x in inputs)
-        res = jax.vmap(lambda *xs: enc_one(xs))(*inputs)
+        merged = tuple(
+            jax.lax.with_sharding_constraint(
+                x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), spec
+            )
+            for x in inputs
+        )
+        out = enc_one(merged, enc_mesh=mesh)
+        res = jax.tree_util.tree_map(
+            lambda y: y.reshape((nw, b) + y.shape[1:]), out
+        )
     else:
         res = jax.lax.map(enc_one, inputs, batch_size=_map_batch(nw, cfg.enc_window_chunk))
     return {"hooks": {h: f for h, f in zip(hooks, res["hooks"])}, "final": res["final"]}

@@ -48,9 +48,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _flash_attention_impl(q, k, v, scale, block_q)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
 def _flash_attention_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          scale: float, block_q: int = 256) -> jnp.ndarray:
+                          scale: float, block_q: int = 256,
+                          interpret: bool = False) -> jnp.ndarray:
     b, h, n, d = q.shape
     bh = b * h
     qf = q.reshape(bh, n, d)
@@ -70,6 +71,7 @@ def _flash_attention_impl(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+        interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, n, d)
 
@@ -135,3 +137,76 @@ def attention_auto(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float)
         # positional args only: jax.custom_vjp functions reject kwargs
         return flash_attention(q, k, v, scale, DEFAULT_BLOCK_Q)
     return mha(q, k, v, scale)
+
+
+# ---------------------------------------------------------------------------
+# mesh path: the kernel under shard_map
+# ---------------------------------------------------------------------------
+
+def _mesh_specs(mesh, b: int, h: int):
+    """PartitionSpec for (B, H, N, D) attention operands on a (data, model)
+    mesh: batch over 'data', heads over 'model' — exactly the layout GSPMD
+    already produces in the encoder (window-merged batch is data-sharded,
+    the TP qkv projection emits head-sharded features), so shard_map
+    introduces no resharding. Returns None when the global dims don't tile
+    the mesh axes (caller falls back to XLA `mha`)."""
+    from jax.sharding import PartitionSpec as P
+
+    sizes = dict(mesh.shape)
+    nd = sizes.get("data", 1)
+    nm = sizes.get("model", 1)
+    if b % nd != 0 or h % nm != 0:
+        return None
+    return P("data" if "data" in sizes else None, "model" if "model" in sizes else None, None, None)
+
+
+def flash_sharded_available(mesh, q_shape, kv_n: int) -> bool:
+    b, h, n, _ = q_shape
+    return (
+        mesh is not None
+        and n == kv_n
+        and n % DEFAULT_BLOCK_Q == 0
+        and _mesh_specs(mesh, b, h) is not None
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_sharded(q, k, v, scale: float, mesh=None, interpret: bool = False):
+    """flash_attention under an explicit `shard_map` over a (data, model)
+    mesh: each device runs the Pallas kernel on its local (B/nd, H/nm, N, D)
+    shard — attention is independent across batch and heads, so no
+    collectives are needed and `pallas_call`'s lack of a GSPMD partitioning
+    rule never bites. `interpret=True` runs the kernel in interpret mode
+    (CPU-mesh equality tests). Backward recomputes through the XLA `mha` at
+    the GLOBAL level (outside the shard_map), which GSPMD partitions cleanly.
+    """
+    return _flash_sharded_impl(q, k, v, scale, mesh, interpret)
+
+
+def _flash_sharded_impl(q, k, v, scale, mesh, interpret):
+    from jax import shard_map
+
+    spec = _mesh_specs(mesh, q.shape[0], q.shape[1])
+    assert spec is not None, "shapes do not tile the mesh; gate with flash_sharded_available"
+
+    def local(qs, ks, vs):
+        return _flash_attention_impl(qs, ks, vs, scale, DEFAULT_BLOCK_Q, interpret)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
+    )(q, k, v)
+
+
+def _flash_sharded_fwd(q, k, v, scale, mesh, interpret):
+    return _flash_sharded_impl(q, k, v, scale, mesh, interpret), (q, k, v)
+
+
+def _flash_sharded_bwd(scale, mesh, interpret, res, g):
+    q, k, v = res
+    from l4p_tpu.ops.attention import mha
+
+    _, vjp = jax.vjp(lambda q_, k_, v_: mha(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention_sharded.defvjp(_flash_sharded_fwd, _flash_sharded_bwd)

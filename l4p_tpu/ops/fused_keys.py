@@ -122,9 +122,14 @@ def _i2t_t2i_kernel(
     _t2i_update(pl.program_id(1), knew, st_ref, spe_ref, wsum_ref, acc_ref, m_ref, l_ref)
 
 
-def _block_p(p: int) -> int:
+def _block_p(p: int, itemsize: int) -> int:
+    """Largest keys tile that keeps the kernel inside scoped VMEM: at
+    C=1408 a 512-row tile is ~1.4 MB bf16 but ~2.9 MB fp32, and with
+    double-buffered in+out keys tiles the fp32 variant blows the 16 MB
+    scoped limit (measured: 18.44M requested) — so fp32 tiles are half."""
+    cap = 512 if itemsize <= 2 else 256
     for b in (512, 256, 128):
-        if p % b == 0:
+        if b <= cap and p % b == 0:
             return b
     return p
 
@@ -148,7 +153,7 @@ def t2i_flash(
     """Token->image attention weighted sum: (N, K, C) f32, one keys pass."""
     n, p, c = keys.shape
     k = st.shape[-1]
-    bp = _block_p(p)
+    bp = _block_p(p, keys.dtype.itemsize)
     return pl.pallas_call(
         _t2i_kernel,
         out_shape=jax.ShapeDtypeStruct((n, k, c), jnp.float32),
@@ -184,7 +189,7 @@ def i2t_ln_t2i(
     n, p, c = keys.shape
     k = r.shape[-1]
     k2 = st.shape[-1]
-    bp = _block_p(p)
+    bp = _block_p(p, keys.dtype.itemsize)
     # 1-D operands as (1, C) rows — lane-axis-last is the Mosaic-native form
     ob, lnw, lnb = (v.reshape(1, c) for v in (ob, lnw, lnb))
     return pl.pallas_call(
