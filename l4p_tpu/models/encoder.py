@@ -179,7 +179,15 @@ def patchify(x_b3thw: jnp.ndarray, w_flat: jnp.ndarray, b: jnp.ndarray, cfg: Enc
     Equivalent to Conv3d(kernel=stride=(tubelet, p, p)) flattened over
     (T', H', W') (reference modeling_finetune.py:276-283): token feature
     vector ordering is (c, dt, dh, dw).
+
+    The ENCODER'S COMPUTE DTYPE IS ITS PARAM DTYPE: a float video is cast
+    to the patch-embed weight dtype here, exactly like the uint8-ingest
+    path (models/ingest.py compute_dtype). Before this cast, an fp32 video
+    with bf16 params silently promoted the whole model to fp32 compute
+    (2x HBM traffic end-to-end; caught when the fp32 lane of the
+    fused_keys kernel blew scoped VMEM on the eval protocol).
     """
+    x_b3thw = x_b3thw.astype(w_flat.dtype)
     B, C, T, H, W = x_b3thw.shape
     p, tt = cfg.patch_size, cfg.tubelet_size
     t2, h2, w2 = T // tt, H // p, W // p

@@ -90,7 +90,8 @@ def init_track_params(cfg: TrackConfig, key: jax.Array, dtype=jnp.float32) -> Di
     keys = iter(jax.random.split(key, 256))
 
     def lin(din, dout):
-        a = float(1.0 / jnp.sqrt(din))
+        # np (not jnp): a static init bound — keeps init eval_shape-traceable
+        a = float(1.0 / np.sqrt(din))
         return {
             "weight": jax.random.uniform(next(keys), (dout, din), dtype, -a, a),
             "bias": jax.random.uniform(next(keys), (dout,), dtype, -a, a),
@@ -129,7 +130,7 @@ def init_track_params(cfg: TrackConfig, key: jax.Array, dtype=jnp.float32) -> Di
         import numpy as _np
 
         fan = cin * int(_np.prod(k))
-        a = float(1.0 / jnp.sqrt(fan))
+        a = float(1.0 / np.sqrt(fan))
         return {
             "weight": jax.random.uniform(next(keys), (cin, cout, *k), dtype, -a, a),
             "bias": jax.random.uniform(next(keys), (cout,), dtype, -a, a),

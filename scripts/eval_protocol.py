@@ -144,15 +144,22 @@ def main():
         if name == "depth_single_window":
             run_cfg = dataclasses.replace(cfg, joint_alignment=False)
         fwd = jax.jit(lambda p, d, _c=run_cfg, _t=tasks: l4p_forward(p, _c, d, _t))
+
+        def sync(o):
+            # one device->host pull on a combined scalar — the ONLY real
+            # sync on the axon tunnel (block_until_ready does not sync
+            # there, and each pull costs ~29 ms; see bench.py)
+            s = sum(jnp.asarray(v).reshape(-1)[0].astype(jnp.float32) for v in o.values())
+            float(np.asarray(s))
+
         out = fwd(params, jb)  # compile + run
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        sync(out)
+        iters = 3
         t0 = time.time()
-        out = fwd(params, jb)
-        # one device->host sync on a combined scalar (axon tunnel: each pull
-        # costs ~29 ms; see bench.py)
-        s = sum(jnp.asarray(v).reshape(-1)[0].astype(jnp.float32) for v in out.values())
-        float(np.asarray(s))
-        dt = time.time() - t0
+        for _ in range(iters):
+            out = fwd(params, jb)
+        sync(out)
+        dt = (time.time() - t0) / iters
 
         m, _ = l4p_metrics(jb, out)
         rec = {
