@@ -7,19 +7,28 @@ HBM-bound in XLA: deconv1's output (N, P, k1*d1) and deconv2's output
 between the matmuls and the LayerNorm/GELU (XLA cannot fuse across matmul
 boundaries). This kernel keeps the whole chain
 
-    x1 = LN(gelu? no: LN) -> gelu -> x2 = gelu(x1 @ W2 + b2) -> out = x2 @ H
+    x1 = src @ W1[k] -> LN -> gelu -> x2 = gelu(x1 @ W2 + b2) -> out = x2 @ H
 
 in VMEM per (query, token-block) tile: only the original tokens (N, P, C)
-are read and only the tiny contracted logits (N, k1, 12, P) are written —
-~4.4 GB of HBM traffic removed per tracked window at N=64.
+are read and only the tiny contracted logits (N, k1, k2*M, P) are written.
 
-Weight layout trick: deconv offsets k1 (kernel==stride => one matmul per
-offset) iterate as a leading axis of W1; within the second deconv, each k2
-offset's d2-column group is padded to a 128-lane multiple, and the
+Weight layout: the k1 deconv1 offsets (kernel==stride => one matmul per
+offset) are packed side-by-side in ONE resident (C, k1*d1p) block and the
+kernel loops the offsets INSIDE one grid step — the first version of this
+kernel iterated k1 in the grid instead, which re-streamed the ~1 MB W1
+slice on every step (~4.4 GB of weight traffic per window at N=128,
+measured as the dominant cost of the 42 ms kernel). Within deconv2, the k2
+offset column groups are packed CONTIGUOUSLY at their true width d2 and
+only the total is lane-padded (k2*d2 -> kk2): per-group 128-padding (the
+first version) inflated the second matmul's FLOPs by 45% at d2=176. The
 hypernetwork MLP outputs are packed into a block-diagonal H of shape
-(d2_groups * d2_pad, k2 * M) so the per-k1 contraction is ONE matmul that
-produces every (k2, mask-token) pair at once. Zero-padding is exact: padded
-W/b columns are zero, gelu(0) = 0, and padded H rows are zero.
+(kk2, k2*M) so the per-offset contraction is ONE matmul that produces
+every (k2, mask-token) pair at once. Zero-padding is exact: padded W/b
+columns are zero, gelu(0) = 0, and padded H rows are zero.
+
+When the resident W1 block would not fit VMEM (fp32 inputs), the offset
+axis is split across a grid dimension (`ksplit`), trading one extra pass
+over the tokens per split for the smaller weight block.
 
 Differentiable via custom_vjp: forward runs the kernel, backward re-derives
 gradients through the identical XLA reference implementation (same
@@ -65,66 +74,73 @@ def _gelu_kernel(x):
 
 
 def _kernel(src_ref, w1_ref, b1_ref, lnw_ref, lnb_ref, w2_ref, b2_ref, h_ref,
-            out_ref, *, d1: int, d1p: int, eps: float):
-    """One (query, k1-offset, token-block) tile: offset matmul -> LN ->
-    gelu -> grouped deconv2 matmul -> gelu -> block-diagonal hypernet
-    matmul. k1 lives in the grid (not an unrolled body loop) to keep the
-    Mosaic program small."""
-    x0 = src_ref[0]  # (BP, C) bf16
-    h_mat = h_ref[0]  # (G, KM) bf16 block-diagonal hypernet
+            out_ref, *, d1: int, d1p: int, kres: int, eps: float):
+    """One (query, k1-split, token-block) tile: for each resident deconv1
+    offset: offset matmul -> LN -> gelu -> packed deconv2 matmul -> gelu ->
+    block-diagonal hypernet matmul."""
+    x0 = src_ref[0]  # (BP, C)
+    h_mat = h_ref[0]  # (kk2, KM) block-diagonal hypernet
+    w2 = w2_ref[:]  # (d1p, kk2)
     mask = (lax.broadcasted_iota(jnp.int32, (1, d1p), 1) < d1).astype(jnp.float32)
     lnw = lnw_ref[:].astype(jnp.float32)
     lnb = lnb_ref[:].astype(jnp.float32)
     b2 = b2_ref[:].astype(jnp.float32)
-    x1 = jnp.dot(x0, w1_ref[0], preferred_element_type=jnp.float32)  # (BP, d1p)
-    x1 = x1 + b1_ref[0, 0].astype(jnp.float32)
-    # LayerNorm over the d1 valid columns (padded cols are exactly zero)
-    mean = jnp.sum(x1 * mask, axis=-1, keepdims=True) / d1
-    var = jnp.sum(jnp.square(x1 - mean) * mask, axis=-1, keepdims=True) / d1
-    y = (x1 - mean) * lax.rsqrt(var + eps)
-    y = y * lnw + lnb  # padded cols: lnw/lnb zero => y = 0
-    y = _gelu_kernel(y).astype(x0.dtype)
-    x2 = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)  # (BP, G)
-    x2 = _gelu_kernel(x2 + b2).astype(x0.dtype)
-    out_k = jnp.dot(x2, h_mat, preferred_element_type=jnp.float32)  # (BP, KM)
-    out_ref[0, 0] = out_k.T  # (KM, BP)
+    for k in range(kres):  # static unroll over the resident offsets
+        w1k = w1_ref[:, k * d1p:(k + 1) * d1p]  # (C, d1p)
+        x1 = jnp.dot(x0, w1k, preferred_element_type=jnp.float32)  # (BP, d1p)
+        x1 = x1 + b1_ref[0, k * d1p:(k + 1) * d1p].astype(jnp.float32)
+        # LayerNorm over the d1 valid columns (padded cols are exactly zero)
+        mean = jnp.sum(x1 * mask, axis=-1, keepdims=True) / d1
+        var = jnp.sum(jnp.square(x1 - mean) * mask, axis=-1, keepdims=True) / d1
+        y = (x1 - mean) * lax.rsqrt(var + eps)
+        y = y * lnw + lnb  # padded cols: lnw/lnb zero => y = 0
+        y = _gelu_kernel(y).astype(x0.dtype)
+        x2 = jnp.dot(y, w2, preferred_element_type=jnp.float32)  # (BP, kk2)
+        x2 = _gelu_kernel(x2 + b2).astype(x0.dtype)
+        out_k = jnp.dot(x2, h_mat, preferred_element_type=jnp.float32)  # (BP, KM)
+        out_ref[0, k] = out_k.T  # (KM, BP)
 
 
 def _prep_weights(w1, b1, lnw, lnb, w2, b2, dtype):
-    """Rearrange torch-layout deconv weights into the kernel's padded layout.
+    """Rearrange torch-layout deconv weights into the kernel's packed layout.
 
-    w1: (C, d1, kt, kh, kw) -> (k1, C, d1p); w2: (d1, d2, lt, lh, lw) ->
-    (d1p, k2 * d2p) with per-k2 column groups. All padding zero."""
+    w1: (C, d1, kt, kh, kw) -> (C, k1 * d1p) offsets side-by-side;
+    w2: (d1, d2, lt, lh, lw) -> (d1p, kk2) with the k2 column groups packed
+    contiguously at width d2 and only the total lane-padded. All padding
+    zero."""
     c, d1 = w1.shape[:2]
     k1 = w1.shape[2] * w1.shape[3] * w1.shape[4]
     d2, k2 = w2.shape[1], w2.shape[2] * w2.shape[3] * w2.shape[4]
-    d1p, d2p = _pad_to(d1, 128), _pad_to(d2, 128)
+    d1p = _pad_to(d1, 128)
+    kk2 = _pad_to(k2 * d2, 128)
 
     w1r = w1.reshape(c, d1, k1).transpose(2, 0, 1)  # (k1, C, d1)
     w1p = jnp.zeros((k1, c, d1p), dtype).at[:, :, :d1].set(w1r.astype(dtype))
-    # (k1, 1, d1p): Pallas wants per-k blocks whose trailing two dims match
-    # the array's, so the bias carries an explicit singleton row
-    b1p = jnp.zeros((k1, 1, d1p), dtype).at[:, 0, :d1].set(b1.astype(dtype))
+    w1p = w1p.transpose(1, 0, 2).reshape(c, k1 * d1p)
+    b1p = jnp.zeros((k1, d1p), dtype).at[:, :d1].set(
+        jnp.broadcast_to(b1.astype(dtype), (k1, d1))
+    ).reshape(1, k1 * d1p)
     lnwp = jnp.zeros((d1p,), jnp.float32).at[:d1].set(lnw.astype(jnp.float32))
     lnbp = jnp.zeros((d1p,), jnp.float32).at[:d1].set(lnb.astype(jnp.float32))
 
-    w2r = w2.reshape(d1, d2, k2).transpose(0, 2, 1)  # (d1, k2, d2)
-    w2p = jnp.zeros((d1p, k2, d2p), dtype).at[:d1, :, :d2].set(w2r.astype(dtype))
-    w2p = w2p.reshape(d1p, k2 * d2p)
-    b2p = jnp.zeros((k2, d2p), dtype).at[:, :d2].set(b2.astype(dtype)).reshape(-1)
-    return w1p, b1p, lnwp, lnbp, w2p, b2p, (k1, k2, d1, d1p, d2, d2p)
+    w2r = w2.reshape(d1, d2, k2).transpose(0, 2, 1).reshape(d1, k2 * d2)
+    w2p = jnp.zeros((d1p, kk2), dtype).at[:d1, : k2 * d2].set(w2r.astype(dtype))
+    b2p = jnp.zeros((kk2,), dtype).at[: k2 * d2].set(
+        jnp.broadcast_to(b2.astype(dtype)[None], (k2, d2)).reshape(-1)
+    )
+    return w1p, b1p, lnwp, lnbp, w2p, b2p, (k1, k2, d1, d1p, d2, kk2)
 
 
-def _prep_hyper(hyper_nmd, k2: int, d2: int, d2p: int, dtype):
-    """(N, M, d2) -> block-diagonal (N, k2*d2p, k2*M): H[n, j*d2p+d, j*M+m]
+def _prep_hyper(hyper_nmd, k2: int, d2: int, kk2: int, dtype):
+    """(N, M, d2) -> block-diagonal (N, kk2, k2*M): H[n, j*d2+d, j*M+m]
     = hyper[n, m, d]. Cross-offset terms are zero, so one matmul contracts
     every (k2 offset, mask token) pair."""
     n, m = hyper_nmd.shape[:2]
-    h = jnp.zeros((n, k2, d2p, k2, m), dtype)
+    h = jnp.zeros((n, kk2, k2, m), dtype)
     ht = hyper_nmd.transpose(0, 2, 1).astype(dtype)  # (N, d2, M)
     for j in range(k2):
-        h = h.at[:, j, :d2, j, :].set(ht)
-    return h.reshape(n, k2 * d2p, k2 * m)
+        h = h.at[:, j * d2:(j + 1) * d2, j, :].set(ht)
+    return h.reshape(n, kk2, k2 * m)
 
 
 def _upscale_xla(src, w1, b1, lnw, lnb, w2, b2, hyper_nmd):
@@ -163,29 +179,42 @@ def _fused_impl(src, w1, b1, lnw, lnb, w2, b2, hyper_nmd, interpret):
     m = hyper_nmd.shape[1]
     dtype = src.dtype
     w1p, b1p, lnwp, lnbp, w2p, b2p, dims = _prep_weights(w1, b1, lnw, lnb, w2, b2, dtype)
-    k1, k2, d1, d1p, d2, d2p = dims
-    h_mat = _prep_hyper(hyper_nmd, k2, d2, d2p, dtype)
+    k1, k2, d1, d1p, d2, kk2 = dims
+    h_mat = _prep_hyper(hyper_nmd, k2, d2, kk2, dtype)
     km = k2 * m
 
-    bp = next((b for b in (512, 256, 128) if p % b == 0), p)
-    # grid order (n, p-blocks, k1): the innermost k1 sweep reuses the
-    # resident src block; only the ~1 MB w1[k]/b1[k] slices re-stream
-    grid = (n, p // bp, k1)
+    # split the offset axis until the resident W1 block fits comfortably in
+    # VMEM next to the token block and temporaries (bf16 giant shape: the
+    # whole (1408, 8*384) block = 8.7 MB stays resident, ksplit=1; fp32
+    # inputs split it)
+    itemsize = jnp.dtype(dtype).itemsize
+    ksplit = 1
+    while (c * k1 * d1p * itemsize) // ksplit > 9 * 2 ** 20 and ksplit < k1:
+        ksplit *= 2
+    while k1 % ksplit:  # k1 is 8 for every real config; be safe anyway
+        ksplit += 1
+    kres = k1 // ksplit
+    bp = next((b for b in (256, 128) if p % b == 0), p)
+
+    # grid order (n, ksplit, p-blocks): the W1/b1 split-blocks have a
+    # constant index over the inner token sweep, so they are fetched once
+    # per split (not once per step — the trap the first version fell into)
+    grid = (n, ksplit, p // bp)
     out = pl.pallas_call(
-        functools.partial(_kernel, d1=d1, d1p=d1p, eps=1e-6),
+        functools.partial(_kernel, d1=d1, d1p=d1p, kres=kres, eps=1e-6),
         out_shape=jax.ShapeDtypeStruct((n, k1, km, p), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bp, c), lambda i, j, k: (i, j, 0)),
-            pl.BlockSpec((1, c, d1p), lambda i, j, k: (k, 0, 0)),
-            pl.BlockSpec((1, 1, d1p), lambda i, j, k: (k, 0, 0)),
-            pl.BlockSpec((d1p,), lambda i, j, k: (0,)),
-            pl.BlockSpec((d1p,), lambda i, j, k: (0,)),
-            pl.BlockSpec((d1p, k2 * d2p), lambda i, j, k: (0, 0)),
-            pl.BlockSpec((k2 * d2p,), lambda i, j, k: (0,)),
-            pl.BlockSpec((1, k2 * d2p, km), lambda i, j, k: (i, 0, 0)),
+            pl.BlockSpec((1, bp, c), lambda i, s, j: (i, j, 0)),
+            pl.BlockSpec((c, kres * d1p), lambda i, s, j: (0, s)),
+            pl.BlockSpec((1, kres * d1p), lambda i, s, j: (0, s)),
+            pl.BlockSpec((d1p,), lambda i, s, j: (0,)),
+            pl.BlockSpec((d1p,), lambda i, s, j: (0,)),
+            pl.BlockSpec((d1p, kk2), lambda i, s, j: (0, 0)),
+            pl.BlockSpec((kk2,), lambda i, s, j: (0,)),
+            pl.BlockSpec((1, kk2, km), lambda i, s, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, km, bp), lambda i, j, k: (i, k, 0, j)),
+        out_specs=pl.BlockSpec((1, kres, km, bp), lambda i, s, j: (i, s, 0, j)),
         interpret=interpret,
     )(src, w1p, b1p, lnwp, lnbp, w2p, b2p, h_mat)
     # (N, k1, k2*M, P) -> (N, M, P, k1, k2); column order inside km is
