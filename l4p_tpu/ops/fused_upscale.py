@@ -73,32 +73,79 @@ def _gelu_kernel(x):
     return 0.5 * x * (1.0 + _erf_poly(x * 0.7071067811865476))
 
 
+# minimax fit of erf(x)/x as a degree-7 polynomial in x^2 on (0, 3];
+# outside [-3, 3] erf is snapped to +-1 (exact within 2.2e-5 there).
+# max abs erf error 6.2e-4 -> max abs GELU error ~1.3e-3.
+_ERF_P7 = (
+    1.1283168401705774, -0.37512386745578974, 0.11015570060511803,
+    -0.024060275695193943, 0.00371411257654781, -0.0003752059410900838,
+    2.1871300708395912e-05, -5.515022005715491e-07,
+)
+
+
+def _gelu_fast(x):
+    """GELU on a division/exp-free polynomial erf. The VPU cost of the exact
+    rational erf is dominated by its exp and reciprocal (measured 12.6 ms of
+    the N=128 giant kernel body, dropping to 3.5 ms with this form —
+    scripts/exp_upscale_ablate.py). Max abs error ~1.3e-3 — an order of
+    magnitude below bf16 rounding at the same magnitudes (8e-3 at |x|=1.5),
+    so this form is reserved for bf16 inputs; fp32 lanes keep the exact
+    erf."""
+    z = x * 0.7071067811865476
+    u = jnp.minimum(z * z, 9.0)
+    acc = jnp.full_like(u, _ERF_P7[-1])
+    for c in _ERF_P7[-2::-1]:
+        acc = acc * u + c
+    e = jnp.clip(z, -3.0, 3.0) * acc
+    e = jnp.where(z > 3.0, 1.0, jnp.where(z < -3.0, -1.0, e))
+    return 0.5 * x * (1.0 + e)
+
+
 def _kernel(src_ref, w1_ref, b1_ref, lnw_ref, lnb_ref, w2_ref, b2_ref, h_ref,
-            out_ref, *, d1: int, d1p: int, kres: int, eps: float):
+            out_ref, *, d1: int, d1p: int, kres: int, eps: float, fast: bool):
     """One (query, k1-split, token-block) tile: for each resident deconv1
     offset: offset matmul -> LN -> gelu -> packed deconv2 matmul -> gelu ->
-    block-diagonal hypernet matmul."""
+    block-diagonal hypernet matmul.
+
+    `fast` (bf16 inputs): polynomial GELU (_gelu_fast), one-pass LN moments
+    (E[x^2]-E[x]^2 — exact in exact arithmetic; its fp32 cancellation noise
+    is far below bf16 rounding), and the hypernet contraction in the
+    (KM, kk2) x (BP, kk2)^T orientation whose output lands in the out
+    layout with no in-kernel transpose. fp32 inputs keep the exact erf and
+    two-pass moments so the fp32 path stays within 2e-5 of the XLA chain."""
     x0 = src_ref[0]  # (BP, C)
-    h_mat = h_ref[0]  # (kk2, KM) block-diagonal hypernet
+    h_mat = h_ref[0]  # fast: (KM, kk2); else (kk2, KM)
     w2 = w2_ref[:]  # (d1p, kk2)
     mask = (lax.broadcasted_iota(jnp.int32, (1, d1p), 1) < d1).astype(jnp.float32)
     lnw = lnw_ref[:].astype(jnp.float32)
     lnb = lnb_ref[:].astype(jnp.float32)
     b2 = b2_ref[:].astype(jnp.float32)
+    gelu_fn = _gelu_fast if fast else _gelu_kernel
     for k in range(kres):  # static unroll over the resident offsets
         w1k = w1_ref[:, k * d1p:(k + 1) * d1p]  # (C, d1p)
         x1 = jnp.dot(x0, w1k, preferred_element_type=jnp.float32)  # (BP, d1p)
         x1 = x1 + b1_ref[0, k * d1p:(k + 1) * d1p].astype(jnp.float32)
         # LayerNorm over the d1 valid columns (padded cols are exactly zero)
-        mean = jnp.sum(x1 * mask, axis=-1, keepdims=True) / d1
-        var = jnp.sum(jnp.square(x1 - mean) * mask, axis=-1, keepdims=True) / d1
+        if fast:
+            mean = jnp.sum(x1 * mask, axis=-1, keepdims=True) / d1
+            var = jnp.sum(jnp.square(x1) * mask, axis=-1, keepdims=True) / d1
+            var = var - jnp.square(mean)
+        else:
+            mean = jnp.sum(x1 * mask, axis=-1, keepdims=True) / d1
+            var = jnp.sum(jnp.square(x1 - mean) * mask, axis=-1, keepdims=True) / d1
         y = (x1 - mean) * lax.rsqrt(var + eps)
         y = y * lnw + lnb  # padded cols: lnw/lnb zero => y = 0
-        y = _gelu_kernel(y).astype(x0.dtype)
+        y = gelu_fn(y).astype(x0.dtype)
         x2 = jnp.dot(y, w2, preferred_element_type=jnp.float32)  # (BP, kk2)
-        x2 = _gelu_kernel(x2 + b2).astype(x0.dtype)
-        out_k = jnp.dot(x2, h_mat, preferred_element_type=jnp.float32)  # (BP, KM)
-        out_ref[0, k] = out_k.T  # (KM, BP)
+        x2 = gelu_fn(x2 + b2).astype(x0.dtype)
+        if fast:
+            out_ref[0, k] = lax.dot_general(
+                h_mat, x2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (KM, BP)
+        else:
+            out_k = jnp.dot(x2, h_mat, preferred_element_type=jnp.float32)
+            out_ref[0, k] = out_k.T  # (KM, BP)
 
 
 def _prep_weights(w1, b1, lnw, lnb, w2, b2, dtype):
@@ -180,7 +227,10 @@ def _fused_impl(src, w1, b1, lnw, lnb, w2, b2, hyper_nmd, interpret):
     dtype = src.dtype
     w1p, b1p, lnwp, lnbp, w2p, b2p, dims = _prep_weights(w1, b1, lnw, lnb, w2, b2, dtype)
     k1, k2, d1, d1p, d2, kk2 = dims
+    fast = dtype == jnp.bfloat16
     h_mat = _prep_hyper(hyper_nmd, k2, d2, kk2, dtype)
+    if fast:
+        h_mat = h_mat.transpose(0, 2, 1)  # (N, KM, kk2) for the reversed dot
     km = k2 * m
 
     # split the offset axis until the resident W1 block fits comfortably in
@@ -200,8 +250,13 @@ def _fused_impl(src, w1, b1, lnw, lnb, w2, b2, hyper_nmd, interpret):
     # constant index over the inner token sweep, so they are fetched once
     # per split (not once per step — the trap the first version fell into)
     grid = (n, ksplit, p // bp)
+    h_spec = (
+        pl.BlockSpec((1, km, kk2), lambda i, s, j: (i, 0, 0))
+        if fast
+        else pl.BlockSpec((1, kk2, km), lambda i, s, j: (i, 0, 0))
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, d1=d1, d1p=d1p, kres=kres, eps=1e-6),
+        functools.partial(_kernel, d1=d1, d1p=d1p, kres=kres, eps=1e-6, fast=fast),
         out_shape=jax.ShapeDtypeStruct((n, k1, km, p), jnp.float32),
         grid=grid,
         in_specs=[
@@ -212,7 +267,7 @@ def _fused_impl(src, w1, b1, lnw, lnb, w2, b2, hyper_nmd, interpret):
             pl.BlockSpec((d1p,), lambda i, s, j: (0,)),
             pl.BlockSpec((d1p, kk2), lambda i, s, j: (0, 0)),
             pl.BlockSpec((kk2,), lambda i, s, j: (0,)),
-            pl.BlockSpec((1, kk2, km), lambda i, s, j: (i, 0, 0)),
+            h_spec,
         ],
         out_specs=pl.BlockSpec((1, kres, km, bp), lambda i, s, j: (i, s, 0, j)),
         interpret=interpret,

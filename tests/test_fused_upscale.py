@@ -40,6 +40,30 @@ def test_fused_upscale_nonaligned_dims():
     np.testing.assert_allclose(np.asarray(ok), np.asarray(ox), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_upscale_bf16_fast_branch():
+    """bf16 inputs select the fast kernel body (polynomial GELU, one-pass LN,
+    reversed hypernet matmul); outputs must agree with the XLA chain to
+    bf16-level tolerance (poly GELU error ~1.3e-3 << bf16 rounding)."""
+    args32 = _inputs(jax.random.PRNGKey(4))
+    args = tuple(a.astype(jnp.bfloat16) for a in args32)
+    ok = fused_upscale_hypernet(*args, True)
+    ox = _upscale_xla(*args)
+    scale = float(np.max(np.abs(np.asarray(ox, dtype=np.float32)))) + 1e-6
+    diff = float(np.max(np.abs(np.asarray(ok, np.float32) - np.asarray(ox, np.float32))))
+    assert diff <= 0.03 * scale, (diff, scale)
+
+
+def test_gelu_fast_error_budget():
+    """The polynomial GELU must stay within its documented 1.3e-3 abs error
+    of the exact erf GELU over a wide input range."""
+    from l4p_tpu.ops.fused_upscale import _gelu_fast
+
+    x = jnp.linspace(-12.0, 12.0, 200001, dtype=jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    fast = _gelu_fast(x)
+    assert float(jnp.max(jnp.abs(fast - exact))) < 1.4e-3
+
+
 def test_fused_upscale_grad_matches_xla():
     """custom_vjp backward (XLA recompute) must match differentiating the
     reference directly."""
