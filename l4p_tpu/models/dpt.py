@@ -18,8 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from l4p_tpu.ops.conv import conv3d, conv3d_cl, conv_transpose3d, conv_transpose3d_cl
-from l4p_tpu.ops.resize import interpolate_scale, interpolate_trilinear, resize_linear
+from l4p_tpu.ops.conv import conv3d, conv_transpose3d
+from l4p_tpu.ops.resize import interpolate_scale, interpolate_trilinear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,95 +70,11 @@ def _fusion_apply(p: Dict, sf: Tuple[int, int, int], x: jnp.ndarray, res: Option
     return out
 
 
-def _conv1x1_cl(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """1x1x1 conv as a last-axis matmul (channels-last). w: (Cout, Cin, 1,1,1)."""
-    out = jnp.einsum(
-        "...i,oi->...o", x, w[:, :, 0, 0, 0].astype(x.dtype)
-    )
-    if b is not None:
-        out = out + b.astype(out.dtype)
-    return out.astype(x.dtype)
-
-
-def _resconv_apply_cl(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    out = jax.nn.relu(x)
-    out = conv3d_cl(out, p["conv1"]["weight"], p["conv1"]["bias"], padding=1)
-    out = jax.nn.relu(out)
-    out = conv3d_cl(out, p["conv2"]["weight"], p["conv2"]["bias"], padding=1)
-    return out + x
-
-
-def _upscale_cl(x: jnp.ndarray, sf: Tuple[int, int, int]) -> jnp.ndarray:
-    """interpolate_scale on the (B, D, H, W, C) spatial axes 1..3."""
-    sizes = [int(np.floor(x.shape[1 + i] * sf[i])) for i in range(3)]
-    return resize_linear(x, sizes, (1, 2, 3), align_corners=True)
-
-
-def _fusion_apply_cl(
-    p: Dict, sf: Tuple[int, int, int], x: jnp.ndarray, res: Optional[jnp.ndarray]
-) -> jnp.ndarray:
-    out = x
-    if res is not None:
-        out = out + _resconv_apply_cl(p["resConfUnit1"], res)
-    out = _resconv_apply_cl(p["resConfUnit2"], out)
-    out = _upscale_cl(out, sf)
-    return _conv1x1_cl(out, p["out_conv"]["weight"], p["out_conv"]["bias"])
-
-
-def dpt_apply_cl(
-    params: Dict,
-    hook_feats: Sequence[jnp.ndarray],
-    cfg: DPTConfig,
-    img_info: Tuple[int, int, int] = (16, 224, 224),
-) -> jnp.ndarray:
-    """Channels-last (NDHWC) dpt_apply — same math and public contract as
-    `dpt_apply` ((B, P, C) hooks in, (B, num_channels, *output) out), with the
-    internal tensors flowing feature-last so XLA's TPU convs get lanes=C with
-    no relayouts. Bonus: the hook reshape is transpose-free — encoder tokens
-    are already (t, h, w) row-major, so (B, P, C) -> (B, nt, nh, nw, C) is a
-    pure reshape (the NCDHW path pays a (B, C, P) transpose per hook)."""
-    T, H, W = img_info
-    nt = T // cfg.patch_size[0]
-    nh = H // cfg.patch_size[1]
-    nw = W // cfg.patch_size[2]
-
-    layers: List[jnp.ndarray] = []
-    for i, feat in enumerate(hook_feats):
-        B, P, C = feat.shape
-        x = feat.reshape(B, nt, nh, nw, C)
-        ap = params["act_postprocess"][i]
-        x = _conv1x1_cl(x, ap["proj"]["weight"], ap["proj"]["bias"])
-        kind = _rescale_kind(cfg.actpost_scale_factors[i])
-        if kind == "up":
-            stride = tuple(2 ** s for s in cfg.actpost_scale_factors[i])
-            x = conv_transpose3d_cl(x, ap["rescale"]["weight"], ap["rescale"]["bias"], stride=stride)
-        elif kind == "down":
-            stride = tuple(2 ** (-s) for s in cfg.actpost_scale_factors[i])
-            pad = tuple(s // 2 for s in stride)
-            x = conv3d_cl(x, ap["rescale"]["weight"], ap["rescale"]["bias"], stride=stride, padding=pad)
-        layers.append(x)
-
-    layers = [
-        conv3d_cl(l, params["layer_rn"][i]["weight"], None, padding=1)
-        for i, l in enumerate(layers)
-    ]
-
-    rn = params["refinenet"]
-    path4 = _fusion_apply_cl(rn[3], cfg.fusion_scale_factors[3], layers[3], None)
-    # crop T and H (axes 1, 2 here) to layers[2] — dpt_head.py:70-72
-    path4 = path4[:, : layers[2].shape[1], : layers[2].shape[2]]
-    path3 = _fusion_apply_cl(rn[2], cfg.fusion_scale_factors[2], path4, layers[2])
-    path2 = _fusion_apply_cl(rn[1], cfg.fusion_scale_factors[1], path3, layers[1])
-    path1 = _fusion_apply_cl(rn[0], cfg.fusion_scale_factors[0], path2, layers[0])
-
-    out = conv3d_cl(path1, params["head1"]["weight"], params["head1"]["bias"], padding=1)
-    output_size = tuple(img_info) if cfg.output_size is None else tuple(cfg.output_size)
-    if tuple(out.shape[1:4]) != output_size:
-        out = resize_linear(out, output_size, (1, 2, 3), align_corners=True)
-    out = conv3d_cl(out, params["head2_0"]["weight"], params["head2_0"]["bias"], padding=1)
-    out = jax.nn.relu(out)
-    out = _conv1x1_cl(out, params["head2_2"]["weight"], params["head2_2"]["bias"])
-    return jnp.transpose(out, (0, 4, 1, 2, 3))
+# A full channels-last (NDHWC) dpt_apply variant was built and measured on
+# chip this round (scripts/exp_dpt_layout.py history): 27.4 vs 26.5 ms/window
+# NCDHW at the giant shape — XLA's TPU layout assignment already converts to
+# its preferred tiling either way, so the variant was removed (ROUND_NOTES
+# session 6). The in-graph stacked dense heads measure ~70% MFU marginal.
 
 
 def dpt_apply(

@@ -48,58 +48,6 @@ def conv3d(
     return out.astype(x.dtype)
 
 
-def conv3d_cl(
-    x: jnp.ndarray,
-    w: jnp.ndarray,
-    b: jnp.ndarray | None = None,
-    stride: IntOr3 = 1,
-    padding: IntOr3 = 0,
-) -> jnp.ndarray:
-    """Channels-last conv3d. x: (B, D, H, W, Cin); w stays in the torch
-    (Cout, Cin, kD, kH, kW) layout so converted checkpoints are shared with
-    the NCDHW path — transposed to DHWIO at trace time (weights are small)."""
-    s = _triple(stride)
-    p = _triple(padding)
-    w_cl = jnp.transpose(w, (2, 3, 4, 1, 0)).astype(x.dtype)  # DHWIO
-    out = lax.conv_general_dilated(
-        x,
-        w_cl,
-        window_strides=s,
-        padding=[(pi, pi) for pi in p],
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
-    if b is not None:
-        out = out + b.astype(out.dtype)
-    return out.astype(x.dtype)
-
-
-def conv_transpose3d_cl(
-    x: jnp.ndarray,
-    w: jnp.ndarray,
-    b: jnp.ndarray | None = None,
-    stride: IntOr3 = 1,
-    padding: IntOr3 = 0,
-) -> jnp.ndarray:
-    """Channels-last ConvTranspose3d. w: torch (Cin, Cout, kD, kH, kW)."""
-    s = _triple(stride)
-    p = _triple(padding)
-    k = w.shape[2:]
-    # flip spatially; IO order: transpose-conv contracts over Cin (axis 0)
-    w_cl = jnp.transpose(jnp.flip(w, axis=(2, 3, 4)), (2, 3, 4, 0, 1)).astype(x.dtype)
-    pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i]) for i in range(3)]
-    out = lax.conv_general_dilated(
-        x,
-        w_cl,
-        window_strides=(1, 1, 1),
-        padding=pad,
-        lhs_dilation=s,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
-    if b is not None:
-        out = out + b.astype(out.dtype)
-    return out.astype(x.dtype)
-
-
 def conv_transpose3d(
     x: jnp.ndarray,
     w: jnp.ndarray,

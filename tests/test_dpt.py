@@ -77,27 +77,6 @@ def test_dpt_parity(cfg, img):
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("cfg,img", [(SMALL, SMALL_IMG), (CAMRAY_SMALL, SMALL_IMG)])
-def test_dpt_channels_last_equality(cfg, img):
-    """dpt_apply_cl is the same math in NDHWC; fp32 outputs must match the
-    NCDHW path to conv-reassociation noise."""
-    import jax
-
-    from l4p_tpu.models.dpt import dpt_apply_cl
-
-    params = init_dpt_params(cfg, jax.random.PRNGKey(3))
-    nt, nh, nw = img[0] // 2, img[1] // 14, img[2] // 14
-    rng = np.random.default_rng(1)
-    feats = [
-        jnp.asarray(rng.standard_normal((2, nt * nh * nw, cfg.dim_tokens)).astype(np.float32))
-        for _ in cfg.hooks
-    ]
-    a = dpt_apply(params, feats, cfg, img_info=img)
-    b = dpt_apply_cl(params, feats, cfg, img_info=img)
-    assert a.shape == b.shape
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
-
-
 def test_dpt_init_runs():
     import jax
 
