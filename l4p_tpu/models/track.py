@@ -170,15 +170,24 @@ def init_track_params(cfg: TrackConfig, key: jax.Array, dtype=jnp.float32) -> Di
 
 def softargmax_xy(logits_nthw: jnp.ndarray, image_hw: Tuple[int, int]) -> jnp.ndarray:
     """Soft-argmax over HxW with pixel-center grid
-    (sparse_heads.py:140-155). logits: (N, T, H, W) -> (N, T, 2) as (x, y)."""
+    (sparse_heads.py:140-155). logits: (N, T, H, W) -> (N, T, 2) as (x, y).
+
+    Computed as (sum e*x, sum e*y) / sum e rather than normalizing a
+    softmax heatmap first: identical math (the 1/sum factors out of the
+    linear expectation), but the (N, T, H*W) normalized heatmap — the
+    full forward's PEAK tensor at full resolution — is never materialized;
+    the three reductions share the exp producer in one fused pass."""
     n, t, h, w = logits_nthw.shape
-    heat = jax.nn.softmax(logits_nthw.reshape(n, t, h * w).astype(jnp.float32), axis=-1)
+    lf = logits_nthw.reshape(n, t, h * w).astype(jnp.float32)
+    m = jnp.max(lf, axis=-1, keepdims=True)
+    z = jnp.exp(lf - m)
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5)
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5)
     grid_x = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
     grid_y = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
-    x_est = (heat * grid_x).sum(-1)
-    y_est = (heat * grid_y).sum(-1)
+    s = z.sum(-1)
+    x_est = (z * grid_x).sum(-1) / s
+    y_est = (z * grid_y).sum(-1) / s
     return jnp.stack([x_est, y_est], axis=-1)
 
 

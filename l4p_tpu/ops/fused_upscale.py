@@ -234,17 +234,21 @@ def _fused_impl(src, w1, b1, lnw, lnb, w2, b2, hyper_nmd, interpret):
     km = k2 * m
 
     # split the offset axis until the resident W1 block fits comfortably in
-    # VMEM next to the token block and temporaries (bf16 giant shape: the
-    # whole (1408, 8*384) block = 8.7 MB stays resident, ksplit=1; fp32
-    # inputs split it)
+    # VMEM next to the token block and temporaries. bf16 giant shape: the
+    # whole (1408, 8*384) block = 8.7 MB stays resident (ksplit=1, proven on
+    # chip). fp32 needs a harder split AND a smaller token block: a 8.65 MB
+    # fp32 half-split still OOMed scoped VMEM by 640 KB once double-buffered
+    # (caught by the fp32 full-model parity run on hardware).
     itemsize = jnp.dtype(dtype).itemsize
+    w1_limit = 9 * 2 ** 20 if fast else 4 * 2 ** 20
     ksplit = 1
-    while (c * k1 * d1p * itemsize) // ksplit > 9 * 2 ** 20 and ksplit < k1:
+    while (c * k1 * d1p * itemsize) // ksplit > w1_limit and ksplit < k1:
         ksplit *= 2
     while k1 % ksplit:  # k1 is 8 for every real config; be safe anyway
         ksplit += 1
     kres = k1 // ksplit
-    bp = next((b for b in (256, 128) if p % b == 0), p)
+    bp_candidates = (256, 128) if fast else (128,)
+    bp = next((b for b in bp_candidates if p % b == 0), p)
 
     # grid order (n, ksplit, p-blocks): the W1/b1 split-blocks have a
     # constant index over the inner token sweep, so they are fetched once

