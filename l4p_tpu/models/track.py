@@ -283,11 +283,16 @@ def track_forward_item(
         kept = processed["enc_features"].reshape(
             processed["enc_features"].shape[0], te, pn // te, -1
         )[:, te // 2 :].reshape(processed["enc_features"].shape[0], pn // 2, -1)
-        out["enc_history_kept_npc"] = linear(
-            kept,
-            params["processed_video_features_proj"]["weight"],
-            params["processed_video_features_proj"]["bias"],
-        )
+        # emit the compute dtype straight from the dot: this projection's
+        # output is the scan's big carry ((N, P/2, C) per window); an
+        # fp32-typed einsum makes XLA materialize + convert ~740 MB/window
+        # at N=128 (MXU accumulation is fp32 either way — only the bias-add
+        # rounding differs, in bf16 noise)
+        wproj = params["processed_video_features_proj"]["weight"]
+        hist = jnp.einsum("npi,oi->npo", kept, wproj.astype(kept.dtype))
+        out["enc_history_kept_npc"] = hist + params[
+            "processed_video_features_proj"
+        ]["bias"].astype(hist.dtype)
     return out
 
 
