@@ -83,6 +83,15 @@ def test_streamed_grad_is_factored_grad():
     np.testing.assert_allclose(np.asarray(gs), np.asarray(gn), rtol=1e-4, atol=1e-5)
 
 
+# NOTE: the one-pass-LN `fast` branch (bf16 inputs) has no CPU interpret
+# test: this host's XLA:CPU cannot execute bf16 x bf16 -> f32 dots at all
+# ("Unsupported element type for DotThunk::Execute"), so neither the
+# streamed nor the factored path runs in bf16 off-TPU. The branch is
+# covered on hardware by scripts/microbench_twoway.py and the bench
+# (bf16 production path), and its math (E[y^2]-E[y]^2 moments) is the
+# same one-pass form proven in ops/fused_upscale's fast lane.
+
+
 def test_group_sum_matrix():
     g = np.asarray(group_sum_matrix(2, 3))
     expect = np.kron(np.eye(2), np.ones((3, 3)))
