@@ -105,5 +105,16 @@ def layer_norm(
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GELU — torch.nn.GELU default."""
+    """GELU. fp32+ uses the exact erf form (torch.nn.GELU default,
+    reference modeling_finetune.py:51-69) so parity tests and goldens are
+    bit-stable. The bf16 lane uses the tanh approximation: its global max
+    abs error vs exact is 4.7e-4 (measured over [-12, 12]) — an order of
+    magnitude below bf16 rounding at the same magnitudes — while the exact
+    erf's deep VPU chain stalls the fc1-matmul epilogue in-graph (measured
+    47.6 -> 41.7 ms on one giant encoder window on v5e,
+    scripts/exp_encoder_gelu.py; standalone the two are equal, the cost
+    only appears fused into the matmul). Same dtype policy as the
+    polynomial erf inside ops/fused_upscale.py."""
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
