@@ -203,7 +203,9 @@ def sim3_overlap_solve(
         world_T_cam_b44t=target["camray"].reshape(b, 4, 4, -1)[:, :, :, ::step],
     )
     n_total = pm_pred.shape[2] * h * w
-    n_keep = max(int(point_sample_ratio * n_total), min_samples)
+    # clamp: point_sample_ratio near 1 or min_samples > ratio*n_total would
+    # drive stride_pts to 0 below (empty randint range + duplicated points)
+    n_keep = min(max(int(point_sample_ratio * n_total), min_samples), n_total)
 
     # sanitize: degenerate pose estimates (near-parallel rays) can emit huge
     # or non-finite coordinates that would overflow the fp32 solve

@@ -152,6 +152,17 @@ def _scratch(k: int, c: int):
     ]
 
 
+def _check_aligned(p: int, c: int, k: int) -> None:
+    """Shape gate: callers normally go through fused_keys_available, but an
+    explicit impl='streamed' bypasses it — fail with a real message instead
+    of a scoped-VMEM blowup or an opaque Mosaic layout error."""
+    if c % 128 or p % 128 or k > 128:
+        raise ValueError(
+            f"fused_keys kernels need C%128==0, P%128==0, h*Q<=128; got "
+            f"P={p}, C={c}, K={k}. Use impl='factored' for these shapes."
+        )
+
+
 def t2i_flash(
     keys: jnp.ndarray,  # (N, P, C)
     st: jnp.ndarray,  # (N, C, K) pre-scaled s transposed
@@ -161,6 +172,7 @@ def t2i_flash(
     """Token->image attention weighted sum: (N, K, C) f32, one keys pass."""
     n, p, c = keys.shape
     k = st.shape[-1]
+    _check_aligned(p, c, k)
     bp = _block_p(p, keys.dtype.itemsize)
     return pl.pallas_call(
         _t2i_kernel,
@@ -197,6 +209,7 @@ def i2t_ln_t2i(
     n, p, c = keys.shape
     k = r.shape[-1]
     k2 = st.shape[-1]
+    _check_aligned(p, c, max(k, k2))
     bp = _block_p(p, keys.dtype.itemsize)
     # 1-D operands as (1, C) rows — lane-axis-last is the Mosaic-native form
     ob, lnw, lnb = (v.reshape(1, c) for v in (ob, lnw, lnb))

@@ -244,8 +244,9 @@ def _fused_impl(src, w1, b1, lnw, lnb, w2, b2, hyper_nmd, interpret):
     ksplit = 1
     while (c * k1 * d1p * itemsize) // ksplit > w1_limit and ksplit < k1:
         ksplit *= 2
-    while k1 % ksplit:  # k1 is 8 for every real config; be safe anyway
-        ksplit += 1
+    ksplit = min(ksplit, k1)
+    while k1 % ksplit:  # snap DOWN to a divisor (terminates at 1; k1 is 8
+        ksplit -= 1     # for every real config, non-power-of-two k1 is safe)
     kres = k1 // ksplit
     bp_candidates = (256, 128) if fast else (128,)
     bp = next((b for b in bp_candidates if p % b == 0), p)
