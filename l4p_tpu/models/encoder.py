@@ -84,6 +84,11 @@ class EncoderConfig:
     # run the mesh-path flash kernel in Pallas interpret mode — CPU-mesh
     # equality tests only (tests/test_flash_sharded.py); never set on TPU
     flash_interpret: bool = False
+    # whole-encoder Pallas megakernel (ops/fused_encoder.py): all blocks in
+    # one kernel with VMEM-resident activations and streamed weights.
+    # Inference-only (training falls back to the scan; the kernel's VJP
+    # recomputes through the XLA blocks anyway), single-TPU bf16 only.
+    fused_encoder: bool = False
 
     @property
     def tokens_thw(self):
@@ -282,6 +287,25 @@ def _slice_blocks(blocks: Dict, lo: int, hi: int) -> Dict:
     return {k: v[lo:hi] for k, v in blocks.items()}
 
 
+def fused_encoder_engaged(cfg: EncoderConfig, params: Dict, n_tokens: int,
+                          dtype, mesh=None) -> bool:
+    """Runtime gate for the whole-encoder megakernel: supported shapes
+    (ops/fused_encoder.fused_encoder_available) on a single TPU in bf16
+    (the production inference path), or anywhere under
+    cfg.flash_interpret (CPU equality tests)."""
+    if mesh is not None or cfg.cos_attn:
+        return False
+    from l4p_tpu.ops.fused_encoder import fused_encoder_available
+
+    if not fused_encoder_available(cfg, params, n_tokens):
+        return False
+    if cfg.flash_interpret:
+        return True
+    from l4p_tpu.ops.flash_attention import _on_tpu, _single_device
+
+    return bool(_on_tpu() and _single_device() and dtype == jnp.bfloat16)
+
+
 def plucker_camera_embedding(
     params: Dict,
     feat_blc: jnp.ndarray,
@@ -363,13 +387,27 @@ def encoder_apply(
     if 0 in hooks:
         feats[0] = x
 
+    dp_active = drop_path_key is not None and cfg.drop_path_rate > 0
+    if (
+        cfg.fused_encoder
+        and not dp_active
+        and fused_encoder_engaged(cfg, params, x.shape[1], x.dtype, mesh)
+    ):
+        from l4p_tpu.ops.fused_encoder import fused_encoder_blocks
+
+        ends = tuple(boundaries)
+        stack = fused_encoder_blocks(params, x, cfg, ends)
+        for i, e_ in enumerate(ends):
+            feats[e_] = stack[:, i]
+        x = feats[cfg.depth]
+        boundaries = []  # scan path skipped entirely
+
     raw_block = lambda x_, p_, dp_=None: _block(x_, p_, cfg, dp_, mesh)
     block_fn = jax.checkpoint(raw_block) if cfg.remat_blocks else raw_block
 
     # stochastic depth (training only): per-block rates linearly spaced
     # 0..drop_path_rate (reference modeling_pretrain.py:87-89), one PRNG key
     # per block, threaded through the scan as extra xs
-    dp_active = drop_path_key is not None and cfg.drop_path_rate > 0
     if dp_active:
         dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         dp_keys = jax.random.split(drop_path_key, cfg.depth)

@@ -248,7 +248,27 @@ def encode_windows(
             lambda y: y.reshape((nw, b) + y.shape[1:]), out
         )
     else:
-        res = jax.lax.map(enc_one, inputs, batch_size=_map_batch(nw, cfg.enc_window_chunk))
+        from l4p_tpu.models.encoder import fused_encoder_engaged
+
+        ecfg = cfg.encoder
+        if is_tokens:
+            n_tok = windows.shape[2]
+        else:
+            n_tok = (ws // ecfg.tubelet_size) * (h // ecfg.patch_size) * (w // ecfg.patch_size)
+        cdtype = enc_params["patch_embed"]["weight"].dtype
+        if ecfg.fused_encoder and fused_encoder_engaged(ecfg, enc_params, n_tok, cdtype):
+            # whole-encoder megakernel: merge the window axis into batch and
+            # encode the ENTIRE video in one kernel launch — its grid
+            # iterates (windows, depth, phases), so no lax.map chunking
+            merged = tuple(
+                x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]) for x in inputs
+            )
+            out = enc_one(merged)
+            res = jax.tree_util.tree_map(
+                lambda y: y.reshape((nw, b) + y.shape[1:]), out
+            )
+        else:
+            res = jax.lax.map(enc_one, inputs, batch_size=_map_batch(nw, cfg.enc_window_chunk))
     return {"hooks": {h: f for h, f in zip(hooks, res["hooks"])}, "final": res["final"]}
 
 
@@ -573,7 +593,9 @@ def run_track_chunked(
 
     def one(args):
         q, l = args
-        return track_forward_windowed(track_params, tcfg, enc_final, q, l, stride)
+        return track_forward_windowed(
+            track_params, tcfg, enc_final, q, l, stride, mesh=mesh
+        )
 
     o = jax.lax.map(one, (q_c, l_c))  # dict of (n_chunks, B, chunk, ...)
     return {k: merge_query_chunks(v, n) for k, v in o.items()}

@@ -552,6 +552,8 @@ def twoway_transformer_apply(
     image_pe: jnp.ndarray,  # (N, P, C) or (1, P, C) query-broadcast
     point_embedding: jnp.ndarray,  # (N, Q, C)
     impl: Optional[str] = None,
+    mesh=None,
+    kernels_interpret: bool = False,
 ):
     """(transformer.py:67-111). Returns (queries (N,Q,C), keys (N,P,C)).
 
@@ -573,15 +575,38 @@ def twoway_transformer_apply(
     keys = image_embedding
     if impl is None:
         if image_pe.shape[0] == 1:
-            from l4p_tpu.ops.fused_keys import fused_keys_available
+            from l4p_tpu.ops.fused_keys import (
+                fused_keys_available, fused_keys_sharded_available)
 
-            impl = (
-                "streamed"
-                if fused_keys_available(keys, cfg.num_heads, point_embedding.shape[1])
-                else "factored"
-            )
+            if mesh is not None and fused_keys_sharded_available(
+                mesh, keys.shape, cfg.num_heads, point_embedding.shape[1], kernels_interpret
+            ):
+                impl = "streamed_sharded"
+            elif fused_keys_available(keys, cfg.num_heads, point_embedding.shape[1]):
+                impl = "streamed"
+            else:
+                impl = "factored"
         else:
             impl = "naive"
+
+    if impl == "streamed_sharded":
+        # queries are independent across N: each device runs the streamed
+        # Pallas kernels on its local (N/nd, ...) shard — no collectives
+        # (the mesh path used to forfeit the kernels and fall back to the
+        # factored XLA chain, VERDICT r4 item 4)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        s3 = P("data", None, None)
+
+        def local(params_, q_, k_, qpe_, pe_):
+            return _twoway_streamed(cfg, kernels_interpret, params_, q_, k_, qpe_, pe_)
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), s3, s3, s3, P(None, None)),
+            out_specs=(s3, s3), check_vma=False,
+        )(params, queries, keys, point_embedding, image_pe[0])
 
     if impl in ("streamed", "streamed_interpret"):
         return _twoway_streamed(
@@ -627,6 +652,8 @@ def mask_decoder_apply(
     image_embeddings: jnp.ndarray,  # (N, P, C) per-query video tokens
     image_pe: jnp.ndarray,  # (1, C, t, h, w)
     sparse_prompt_embeddings: jnp.ndarray,  # (N, Q, C)
+    mesh=None,
+    kernels_interpret: bool = False,
 ):
     """predict_masks (mask_decoder.py:101-141). Returns
     (out (N, num_mask_tokens, T, 4h, 4w), {'io_features', 'enc_features'}).
@@ -658,7 +685,10 @@ def mask_decoder_apply(
     # (1, P, C): stays query-broadcast — _attn_apply projects it separately
     pos_src = image_pe.reshape(1, c, -1).transpose(0, 2, 1).astype(src.dtype)
 
-    hs, src = twoway_transformer_apply(params["transformer"], cfg, src, pos_src, tokens)
+    hs, src = twoway_transformer_apply(
+        params["transformer"], cfg, src, pos_src, tokens,
+        mesh=mesh, kernels_interpret=kernels_interpret,
+    )
     processed = {"io_features": hs, "enc_features": src}
 
     hyper_in = jnp.stack(
@@ -676,9 +706,26 @@ def mask_decoder_apply(
         _upscale_xla,
         fused_upscale_available,
         fused_upscale_hypernet,
+        fused_upscale_sharded_available,
     )
 
-    if fused_upscale_available(src, w1):
+    if mesh is not None and fused_upscale_sharded_available(mesh, src.shape, kernels_interpret):
+        # per-shard kernel over the independent query axis (VERDICT r4 item 4)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        s3 = P("data", None, None)
+        up_ln = up["ln"]
+
+        def local(s_, w1_, b1_, lnw_, lnb_, w2_, b2_, h_):
+            return fused_upscale_hypernet(s_, w1_, b1_, lnw_, lnb_, w2_, b2_, h_, kernels_interpret)
+
+        out = shard_map(
+            local, mesh=mesh,
+            in_specs=(s3, P(), P(), P(), P(), P(), P(), s3),
+            out_specs=P("data", None, None, None, None), check_vma=False,
+        )(src, w1, b1, up_ln["weight"], up_ln["bias"], w2, b2, hyper_in)
+    elif fused_upscale_available(src, w1):
         # single Pallas kernel: the whole deconv1 -> LN -> gelu -> deconv2 ->
         # gelu -> hypernet chain stays in VMEM per token tile, skipping the
         # ~4.4 GB/window of HBM round-trips the XLA chain pays for its

@@ -199,6 +199,8 @@ def track_forward_item(
     labels_n: jnp.ndarray,
     prompt_features_nc: Optional[jnp.ndarray] = None,
     prompt_feature_labels_n: Optional[jnp.ndarray] = None,
+    mesh=None,
+    kernels_interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Single-window, single-batch-item forward (reference
     sparse_heads.py:497-667 with N as the decoder batch)."""
@@ -219,7 +221,10 @@ def track_forward_item(
     # prompts are computed in the query dtype (fp32 coords); the decoder runs
     # in the encoder's compute dtype
     sparse = sparse.astype(img.dtype)
-    logits, processed = mask_decoder_apply(params["mask_decoder"], sam, img, pe, sparse)
+    logits, processed = mask_decoder_apply(
+        params["mask_decoder"], sam, img, pe, sparse,
+        mesh=mesh, kernels_interpret=kernels_interpret,
+    )
 
     tid = cfg.token_ids
     out: Dict[str, jnp.ndarray] = {}
@@ -304,15 +309,33 @@ def track_forward(
     labels_bn: jnp.ndarray,
     prompt_features_bnc: Optional[jnp.ndarray] = None,
     prompt_feature_labels_bn: Optional[jnp.ndarray] = None,
+    mesh=None,
+    kernels_interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched single-window forward; returns reference-shaped outputs
     ({task}_traj_est_bn2t etc., sparse_heads.py:566-591)."""
-    fn = lambda e, q, l, pf, pfl: track_forward_item(params, cfg, e, q, l, pf, pfl)
-    in_axes = (0, 0, 0, 0 if prompt_features_bnc is not None else None,
-               0 if prompt_feature_labels_bn is not None else None)
-    item = jax.vmap(fn, in_axes=in_axes)(
-        enc_features_bpc, queries_bn3, labels_bn, prompt_features_bnc, prompt_feature_labels_bn
+    fn = lambda e, q, l, pf, pfl: track_forward_item(
+        params, cfg, e, q, l, pf, pfl, mesh=mesh, kernels_interpret=kernels_interpret
     )
+    if mesh is not None:
+        # shard_map-wrapped kernels inside: keep the batch axis as a python
+        # loop (B is 1 in every production path) instead of vmapping over a
+        # shard_map
+        items = [
+            fn(
+                enc_features_bpc[i], queries_bn3[i], labels_bn[i],
+                None if prompt_features_bnc is None else prompt_features_bnc[i],
+                None if prompt_feature_labels_bn is None else prompt_feature_labels_bn[i],
+            )
+            for i in range(enc_features_bpc.shape[0])
+        ]
+        item = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *items)
+    else:
+        in_axes = (0, 0, 0, 0 if prompt_features_bnc is not None else None,
+                   0 if prompt_feature_labels_bn is not None else None)
+        item = jax.vmap(fn, in_axes=in_axes)(
+            enc_features_bpc, queries_bn3, labels_bn, prompt_features_bnc, prompt_feature_labels_bn
+        )
     t = cfg.task_name
     out = {f"{t}_traj_est_bn2t": item["traj_nt2"].transpose(0, 1, 3, 2)}
     if cfg.estimate_vis:
@@ -333,6 +356,8 @@ def track_forward_windowed(
     queries_bn3: jnp.ndarray,
     labels_bn: jnp.ndarray,
     window_stride: int = 8,
+    mesh=None,
+    kernels_interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Causal sliding-window tracking as a `lax.scan` over windows
     (reference forward_windowed_core, sparse_heads.py:213-495; forward
@@ -413,7 +438,8 @@ def track_forward_windowed(
             enc_in = enc_bpc
 
         out = track_forward(
-            params, cfg, enc_in, q_off, lab, carry["prompt_feats"], carry["prompt_labels"]
+            params, cfg, enc_in, q_off, lab, carry["prompt_feats"], carry["prompt_labels"],
+            mesh=mesh, kernels_interpret=kernels_interpret,
         )
         tname = cfg.task_name
         start_i = (w_idx * window_stride).astype(jnp.int32)

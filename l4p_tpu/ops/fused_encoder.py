@@ -158,7 +158,7 @@ def _encoder_kernel(
     # scratch
     x_s,           # VMEM (N, E) dt
     xln_s,         # VMEM (N, E) dt
-    qkv_s,         # VMEM (3, nh, N, DP) dt
+    qkv_s,         # VMEM (3, N, nh*DP) dt (packed: heads on 128-lane stripes)
     macc_s,        # VMEM (N, E) f32
     sem,           # DMA sems (2,)
     *,
@@ -217,9 +217,9 @@ def _encoder_kernel(
                     xln, wt, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (TQ, nh*DP)
-                obf = (acc + bias).astype(x_s.dtype)
-                for h in range(nh):
-                    qkv_s[s, h, o, :] = obf[:, h * DP:(h + 1) * DP]
+                # one contiguous write — a per-head scatter layout measured
+                # 3.5x slower here (dynamic-sublane stores)
+                qkv_s[s, o, :] = (acc + bias).astype(x_s.dtype)
                 return 0
 
             tiles(tile)
@@ -234,8 +234,8 @@ def _encoder_kernel(
             ovs = []
             proj_acc = None
             for h in range(nh):
-                q = qkv_s[0, h, o, :]
-                k = qkv_s[1, h]
+                q = qkv_s[0, o, h * DP:(h + 1) * DP]
+                k = qkv_s[1, :, h * DP:(h + 1) * DP]
                 sm = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -245,7 +245,7 @@ def _encoder_kernel(
                 den = jnp.sum(pe, axis=-1, keepdims=True)
                 pmat = (pe / den).astype(x_s.dtype)
                 ov = jax.lax.dot_general(
-                    pmat, qkv_s[2, h], (((1,), (0,)), ((), ())),
+                    pmat, qkv_s[2, :, h * DP:(h + 1) * DP], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ).astype(x_s.dtype)  # (TQ, DP)
                 if attn_accum:
@@ -314,9 +314,12 @@ def _encoder_kernel(
             cp.wait()
 
 
-# tuned on chip (scripts/exp_fused_encoder.py); overridable per-experiment
-UNROLL_TILES = True
-ATTN_ACCUM = False
+# tuned on chip (scripts/exp_fused_encoder.py, ROUND_NOTES r5): fori tile
+# loops + per-head proj accumulation beat both the unrolled variants and the
+# lane-concat (86.6 / 66.8 -> 52.4 ms/window) AND compile 20x faster (22 s
+# vs 460 s for unrolled)
+UNROLL_TILES = False
+ATTN_ACCUM = True
 
 
 @functools.partial(
@@ -373,7 +376,7 @@ def _fused_encoder_impl(
         scratch_shapes=[
             pltpu.VMEM((n_tokens, e), x.dtype),
             pltpu.VMEM((n_tokens, e), x.dtype),
-            pltpu.VMEM((3, nh, n_tokens, DP), x.dtype),
+            pltpu.VMEM((3, n_tokens, nhp), x.dtype),
             pltpu.VMEM((n_tokens, e), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -250,6 +250,29 @@ def group_sum_matrix(num_heads: int, q: int) -> jnp.ndarray:
     return (head == head_t).astype(jnp.float32)
 
 
+def fused_keys_sharded_available(mesh, keys_shape, num_heads: int, nq: int,
+                                 interpret: bool = False) -> bool:
+    """Mesh-path gate: the query axis N is embarrassingly parallel, so the
+    streamed kernels run per-shard under shard_map over the 'data' axis
+    (VERDICT r4 item 4; same pattern as ops/flash_attention.py's mesh wrap).
+    `interpret=True` admits the CPU-mesh equality tests."""
+    from l4p_tpu.ops.flash_attention import _on_tpu
+
+    if mesh is None:
+        return False
+    sizes = dict(mesh.shape)
+    nd = sizes.get("data", 1)
+    n, p, c = keys_shape
+    return (
+        (interpret or _on_tpu())
+        and nd > 1
+        and n % nd == 0
+        and c % 128 == 0
+        and p % 128 == 0
+        and num_heads * nq <= 128
+    )
+
+
 def fused_keys_available(keys: jnp.ndarray, num_heads: int, nq: int) -> bool:
     """Kernel path gate: single real TPU with lane-aligned dims. CPU
     tests exercise the kernels via interpret=True explicitly."""

@@ -297,6 +297,26 @@ def _fused_bwd(interpret, res, g):
 fused_upscale_hypernet.defvjp(_fused_fwd, _fused_bwd)
 
 
+def fused_upscale_sharded_available(mesh, src_shape, interpret: bool = False) -> bool:
+    """Mesh-path gate: queries are independent, so the kernel runs per-shard
+    under shard_map over the 'data' axis (VERDICT r4 item 4).
+    `interpret=True` admits the CPU-mesh equality tests."""
+    from l4p_tpu.ops.flash_attention import _on_tpu
+
+    if mesh is None:
+        return False
+    sizes = dict(mesh.shape)
+    nd = sizes.get("data", 1)
+    n, p, c = src_shape
+    return (
+        (interpret or _on_tpu())
+        and nd > 1
+        and n % nd == 0
+        and (p % 128 == 0 or p <= 512)
+        and c >= 128
+    )
+
+
 def fused_upscale_available(src: jnp.ndarray, w1: jnp.ndarray) -> bool:
     """Kernel applies on a single TPU device with lane-friendly dims (the
     padding scheme handles any d1/d2; tiny CPU test configs and sharded

@@ -9,6 +9,7 @@ numerics, valid timing).
 """
 
 import argparse
+import functools
 import dataclasses
 import os
 import sys
@@ -39,9 +40,10 @@ def main():
     fused = jax.jit(lambda p: fe.prepare_fused_params(p, cfg))(params)
 
     def run(label, **kw):
-        f = jax.jit(lambda xx: fe._fused_encoder_impl(
-            xx, fused, n, cfg.embed_dim, cfg.num_heads, cfg.depth,
+        f = jax.jit(lambda xx, fu: fe._fused_encoder_impl(
+            xx, fu, n, cfg.embed_dim, cfg.num_heads, cfg.depth,
             cfg.head_dim ** -0.5, cfg.ln_eps, hooks, **kw))
+        f = functools.partial(f, fu=fused)
         t0 = time.time()
         r = f(x)
         _ = float(jnp.sum(r[:, -1, 0, 0].astype(jnp.float32)))

@@ -112,10 +112,15 @@ def test_convert_l4p_full_key_layout():
     assert n_ours <= n_torch and (n_torch - n_ours) / n_torch < 0.001, (n_ours, n_torch)
 
 
-@pytest.mark.slow
-def test_full_model_single_window_parity():
-    """Full-forward parity at real sizes — requires multiple CPU cores or a
-    TPU to finish in reasonable time (the single-core CI image cannot)."""
+_ORACLE_CACHE = {}
+
+
+def _giant_oracle():
+    """Build the torch reference ONCE per process (the ~20 min giant torch
+    forward dominates the slow lane; the fp32 and bf16 parity tests share
+    it)."""
+    if _ORACLE_CACHE:
+        return _ORACLE_CACHE
     torch.manual_seed(11)
     hooks = [14, 21, 28, 36]
     ref = _build_reference_model(hooks)
@@ -140,24 +145,42 @@ def test_full_model_single_window_parity():
     tasks = ["flow_2d_backward", "track_2d", "depth", "dyn_mask", "camray"]
     with torch.no_grad():
         ref_out = ref.forward(batch_t, tasks)
+        feats_ref = ref.encode_features(batch_t)
+        rays_ref = ref.task_heads["camray"].task_head(feats_ref, (16, 224, 224))
 
-    # convert with the full Lightning key layout
     sd = {f"l4p_model.{k_}": v for k_, v in ref.state_dict().items()}
-    cfg, _ = load_model_config("configs/model.yaml")
-    params = convert_l4p(sd, cfg)
+    _ORACLE_CACHE.update(dict(
+        ref_out=ref_out, rays_ref=rays_ref, sd=sd, rgb=rgb, k=k, q=q,
+        labels=labels, tasks=tasks,
+    ))
+    return _ORACLE_CACHE
 
+
+def _run_ours(dtype):
     import dataclasses
 
+    o = _giant_oracle()
+    cfg, _ = load_model_config("configs/model.yaml")
+    params = convert_l4p(o["sd"], cfg, dtype=dtype)
     data = {
-        "rgb_b3thw": jnp.asarray(rgb),
-        "intrinsics_b44t": jnp.asarray(k),
-        "track_2d_pointquerries_bn3": jnp.asarray(q),
-        "track_2d_pointlabels_bn": jnp.asarray(labels),
+        "rgb_b3thw": jnp.asarray(o["rgb"]),
+        "intrinsics_b44t": jnp.asarray(o["k"]),
+        "track_2d_pointquerries_bn3": jnp.asarray(o["q"]),
+        "track_2d_pointlabels_bn": jnp.asarray(o["labels"]),
     }
     from l4p_tpu.models.l4p import l4p_forward
 
     cfg_nj = dataclasses.replace(cfg, joint_alignment=False)
-    out = l4p_forward(params, cfg_nj, data, tuple(tasks))
+    out = l4p_forward(params, cfg_nj, data, tuple(o["tasks"]))
+    return out, params, cfg_nj, data
+
+
+@pytest.mark.slow
+def test_full_model_single_window_parity():
+    """Full-forward parity at real sizes — requires multiple CPU cores or a
+    TPU to finish in reasonable time (the single-core CI image cannot)."""
+    ref_out = _giant_oracle()["ref_out"]
+    out, params, cfg_nj, data = _run_ours(jnp.float32)
 
     # tolerances pinned to ~2x the error MEASURED on the real chip
     # (2026-08-19, fp32 model on TPU v5e vs fp32 torch on this host, random
@@ -176,6 +199,12 @@ def test_full_model_single_window_parity():
         ("track_2d_vis_est_bn1t", 1e-6, 1e-5),
         ("track_2d_depth_est_bn1t", 1e-6, 3.4e-6),
     ]
+    _check_and_record(out, params, cfg_nj, data, checks, ray_rtol=2e-2, ray_atol=2e-2,
+                      tag="fp32")
+
+
+def _check_and_record(out, params, cfg_nj, data, checks, ray_rtol, ray_atol, tag):
+    ref_out = _giant_oracle()["ref_out"]
     measured = {}
     for key_, rtol, atol in checks:
         ours = np.asarray(out[key_], np.float32)
@@ -187,15 +216,8 @@ def test_full_model_single_window_parity():
         )
         measured[key_] = {"max_abs": abs_err, "max_rel_vs_abs1e-6": rel_err,
                           "ref_scale": float(np.max(np.abs(theirs)))}
-        print(f"PARITY {key_}: max_abs={abs_err:.3e} scale={measured[key_]['ref_scale']:.3e}")
+        print(f"PARITY[{tag}] {key_}: max_abs={abs_err:.3e} scale={measured[key_]['ref_scale']:.3e}")
         np.testing.assert_allclose(ours, theirs, rtol=rtol, atol=atol, err_msg=key_)
-    import json as _json
-    import os as _os
-
-    errs_path = _os.environ.get("L4P_PARITY_ERRORS", "")
-    if errs_path:
-        with open(errs_path, "w") as fh:
-            _json.dump(measured, fh, indent=1)
 
     # camray: the pose comes from homography-RANSAC K estimation + Kabsch on
     # the predicted RAY MAP. With random weights the rays are garbage and
@@ -206,9 +228,6 @@ def test_full_model_single_window_parity():
     # solve parity on well-conditioned rays is covered by
     # tests/test_geometry.py::test_rays_to_cameras* and
     # tests/test_camray_windowed.py.
-    with torch.no_grad():
-        feats_ref = ref.encode_features(batch_t)
-        rays_ref = ref.task_heads["camray"].task_head(feats_ref, (16, 224, 224))
     from l4p_tpu.models.l4p import dense_head_raw, encode_windows
 
     enc = encode_windows(params["video_encoder"], cfg_nj, data["rgb_b3thw"])
@@ -218,14 +237,56 @@ def test_full_model_single_window_parity():
         [enc["hooks"][h][0] for h in hcfg.dpt.hooks], (16, 224, 224),
     )
     rays_o = np.asarray(rays_ours, np.float32)
-    rays_t = rays_ref.numpy().astype(np.float32)
+    rays_t = _giant_oracle()["rays_ref"].numpy().astype(np.float32)
+    ray_err = float(np.max(np.abs(rays_o - rays_t)))
+    measured["camray_ray_map"] = {"max_abs": ray_err,
+                                  "ref_scale": float(np.max(np.abs(rays_t)))}
     print(
-        f"PARITY camray_ray_map: max_abs={float(np.max(np.abs(rays_o - rays_t))):.3e} "
-        f"scale={float(np.max(np.abs(rays_t))):.3e}"
+        f"PARITY[{tag}] camray_ray_map: max_abs={ray_err:.3e} "
+        f"scale={measured['camray_ray_map']['ref_scale']:.3e}"
     )
+    import json as _json
+    import os as _os
+
+    errs_path = _os.environ.get("L4P_PARITY_ERRORS", "")
+    if errs_path:
+        with open(errs_path + f".{tag}.json", "w") as fh:
+            _json.dump(measured, fh, indent=1)
     np.testing.assert_allclose(
-        rays_o, rays_t, rtol=2e-2, atol=2e-2, err_msg="camray ray map",
+        rays_o, rays_t, rtol=ray_rtol, atol=ray_atol, err_msg="camray ray map",
     )
     pose = np.asarray(out["traj3d_est_b16t"], np.float32)
     assert pose.shape == ref_out["traj3d_est_b16t"].numpy().shape
     assert np.isfinite(pose).all()
+
+
+@pytest.mark.slow
+def test_full_model_single_window_parity_bf16():
+    """PRODUCTION-precision parity: the bf16 model (the dtype bench/demo/
+    serving actually run — bench.py:43) vs the fp32 torch oracle. This is
+    the honest form of the BASELINE.json "within 1e-2" claim while the
+    released weights stay egress-blocked (VERDICT r4 item 2).
+
+    Tolerances pinned 2026-08-20 at ~2x the error measured on the real chip
+    (TPU v5e, bf16 converted weights incl. the fused Pallas kernels, vs
+    fp32 torch on this host). Errors are dominated by bf16 rounding through
+    the depth-40 encoder; scales: flow ~6 px, depth ~2.4, traj 112 px.
+    L4P_PARITY_MEASURE=1 prints without asserting (for re-pinning).
+    """
+    import os
+
+    out, params, cfg_nj, data = _run_ours(jnp.bfloat16)
+    measure_only = os.environ.get("L4P_PARITY_MEASURE", "") == "1"
+    big = 1e9
+    # (key, rtol, atol) — atol pinned to ~2x measured max_abs on chip
+    checks = [
+        ("flow_2d_backward_est_b2thw", 0.0, big if measure_only else 1.4e-1),
+        ("depth_est_b1thw", 0.0, big if measure_only else 7e-2),
+        ("dyn_mask_est_b1thw", 0.0, big if measure_only else 3e-2),
+        ("track_2d_traj_est_bn2t", 0.0, big if measure_only else 6.0),
+        ("track_2d_vis_est_bn1t", 0.0, big if measure_only else 4e-1),
+        ("track_2d_depth_est_bn1t", 0.0, big if measure_only else 8e-2),
+    ]
+    _check_and_record(out, params, cfg_nj, data, checks,
+                      ray_rtol=0.0, ray_atol=big if measure_only else 4e-2,
+                      tag="bf16")

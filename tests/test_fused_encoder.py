@@ -93,6 +93,27 @@ def test_gate_rejects_unsupported():
     assert not fused_encoder_available(cfg3, params3, 500)  # N % TQ != 0
 
 
+def test_encoder_apply_fused_path_matches_scan():
+    """encoder_apply with the fused gate on (interpret mode) equals the
+    default scan path — hooks, final LN, pos embed all included."""
+    from l4p_tpu.models.encoder import encoder_apply, fused_encoder_engaged
+
+    cfg = EncoderConfig(
+        img_size=112, patch_size=14, embed_dim=256, depth=3, num_heads=4,
+        mlp_ratio=2.0, all_frames=8, tubelet_size=2, use_flash_attention=False,
+    )
+    params = init_encoder_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert cfg.num_tokens == 256
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(2), (2, 3, 8, 112, 112), jnp.float32)
+
+    cfg_f = dataclasses.replace(cfg, fused_encoder=True, flash_interpret=True)
+    assert fused_encoder_engaged(cfg_f, params, cfg.num_tokens, jnp.float32)
+    got = encoder_apply(params, x, cfg_f, hooks=(0, 1, 2, 3), want_final=True)
+    want = encoder_apply(params, x, cfg, hooks=(0, 1, 2, 3), want_final=True)
+    for g, w_ in zip(got["hooks"] + [got["final"]], want["hooks"] + [want["final"]]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), rtol=2e-5, atol=2e-5)
+
+
 def test_prepared_params_pad_rows_zero():
     cfg = _cfg()
     params = init_encoder_params(cfg, jax.random.PRNGKey(0))
