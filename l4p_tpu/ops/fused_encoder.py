@@ -54,8 +54,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 DP = 128  # padded head dim (MXU lane width)
-TQ = 256  # token tile
+TQ = int(_os.environ.get("L4P_FE_TQ", "256"))  # token tile (env: perf experiments)
+TQA = int(_os.environ.get("L4P_FE_TQA", "256"))  # attention q tile
 
 
 def _mlp_chunk(hidden: int) -> int:
@@ -96,18 +99,23 @@ def prepare_fused_params(params: Dict, cfg) -> Dict:
     hc = _mlp_chunk(hidden)
     nc = hidden // hc
 
-    # qkv_w (depth, 3, E, E) -> (depth, 3, nh*DP, E), zero pad rows D->DP
+    # All weights are stored so kernel dots are the MXU-natural A @ B form
+    # (contraction = LHS lanes x RHS sublanes): a (TQ,E)x(rows,E)
+    # lanes-lanes dot_general makes Mosaic transpose the RHS per tile.
+
+    # qkv_w (depth, 3, E_out, E_in) -> (depth, 3, E_in, nh*DP), zero pad
+    # the out dim D -> DP (padded columns are exact zeros downstream)
     wqkv = b["qkv_w"].reshape(depth, 3, nh, d, e)
     wqkv = jnp.pad(wqkv, [(0, 0), (0, 0), (0, 0), (0, DP - d), (0, 0)])
-    wqkv = wqkv.reshape(depth, 3, nh * DP, e)
+    wqkv = wqkv.reshape(depth, 3, nh * DP, e).transpose(0, 1, 3, 2)
 
-    # proj_w (depth, E_out, E_in) -> rows = padded input features (nh*DP, E)
+    # proj_w (depth, E_out, E_in) -> sublanes = padded input features (nh*DP, E)
     wproj = b["proj_w"].transpose(0, 2, 1).reshape(depth, nh, d, e)
     wproj = jnp.pad(wproj, [(0, 0), (0, 0), (0, DP - d), (0, 0)])
     wproj = wproj.reshape(depth, nh * DP, e)
 
-    wfc1 = b["fc1_w"].reshape(depth, nc, hc, e)
-    wfc2 = b["fc2_w"].reshape(depth, e, nc, hc).transpose(0, 2, 1, 3)  # (depth, nc, E, hc)
+    wfc1 = b["fc1_w"].reshape(depth, nc, hc, e).transpose(0, 1, 3, 2)  # (depth, nc, E, hc)
+    wfc2 = b["fc2_w"].reshape(depth, e, nc, hc).transpose(0, 2, 3, 1)  # (depth, nc, hc, E)
 
     # vector pack, fp32, all rows padded to W = max(E, nh*DP, hc)
     w = max(e, nh * DP, hc)
@@ -148,10 +156,10 @@ def _ln_f32(xf, wrow, brow, eps):
 def _encoder_kernel(
     # inputs
     x_in_ref,      # ANY (B, N, E)
-    wqkv_ref,      # (1, 1, nh*DP, E)
+    wqkv_ref,      # (1, 1, E, nh*DP)
     wproj_ref,     # (1, nh*DP, E)
-    wfc1_ref,      # (1, 1, hc, E)
-    wfc2_ref,      # (1, 1, E, hc)
+    wfc1_ref,      # (1, 1, E, hc)
+    wfc2_ref,      # (1, 1, hc, E)
     vecs_ref,      # (1, nv, W) fp32
     # outputs
     out_ref,       # ANY (B, n_hooks, N, E)
@@ -177,19 +185,19 @@ def _encoder_kernel(
     b = pl.program_id(0)
     d = pl.program_id(1)
     p = pl.program_id(2) + phase_off
-    nt = n_tokens // TQ
     last_phase = 3 + nc
 
-    def tiles(body):
-        """Loop over token tiles: static unroll or fori."""
+    def tiles(body, t=TQ):
+        """Loop over token tiles of size t: static unroll or fori."""
+        nt = n_tokens // t
         if unroll_tiles:
             for qt in range(nt):
                 body(qt, 0)
         else:
             jax.lax.fori_loop(0, nt, body, 0, unroll=False)
 
-    def tq(qt):
-        return pl.ds(qt * TQ if isinstance(qt, int) else pl.multiple_of(qt * TQ, TQ), TQ)
+    def tq(qt, t=TQ):
+        return pl.ds(qt * t if isinstance(qt, int) else pl.multiple_of(qt * t, t), t)
 
     @pl.when((d == 0) & (p == 0))
     def _load_x():
@@ -201,7 +209,7 @@ def _encoder_kernel(
     for s in range(3):
         @pl.when(p == s)
         def _qkv(s=s):
-            wt = wqkv_ref[0, 0]                       # (nh*DP, E)
+            wt = wqkv_ref[0, 0]                       # (E, nh*DP)
             bias = vecs_ref[0, 6 + s:7 + s, : nh * DP]  # (1, nh*DP) f32
 
             def tile(qt, _):
@@ -214,7 +222,7 @@ def _encoder_kernel(
                 else:
                     xln = xln_s[o, :]
                 acc = jax.lax.dot_general(
-                    xln, wt, (((1,), (1,)), ((), ())),
+                    xln, wt, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (TQ, nh*DP)
                 # one contiguous write — a per-head scatter layout measured
@@ -230,7 +238,7 @@ def _encoder_kernel(
         projb = vecs_ref[0, 4:5, :e]
 
         def tile(qt, _):
-            o = tq(qt)
+            o = tq(qt, TQA)
             ovs = []
             proj_acc = None
             for h in range(nh):
@@ -273,7 +281,7 @@ def _encoder_kernel(
             xln_s[o, :] = y.astype(x_s.dtype)
             return 0
 
-        tiles(tile)
+        tiles(tile, TQA)
 
     # ---- phases 4..: MLP chunks ----
     for c in range(nc):
@@ -286,12 +294,12 @@ def _encoder_kernel(
                 o = tq(qt)
                 xln = xln_s[o, :]
                 h1 = jax.lax.dot_general(
-                    xln, wfc1_ref[0, 0], (((1,), (1,)), ((), ())),
+                    xln, wfc1_ref[0, 0], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ) + f1b
                 g = _gelu(h1, x_s.dtype)
                 part = jax.lax.dot_general(
-                    g, wfc2_ref[0, 0], (((1,), (1,)), ((), ())),
+                    g, wfc2_ref[0, 0], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (TQ, E)
                 if c == 0:
@@ -346,10 +354,10 @@ def _fused_encoder_impl(
 ) -> jnp.ndarray:
     bsz = x.shape[0]
     nc = fused["wfc1"].shape[1]
-    hc = fused["wfc1"].shape[2]
+    hc = fused["wfc1"].shape[3]
     nv = fused["vecs"].shape[1]
     w = fused["vecs"].shape[2]
-    nhp = fused["wqkv"].shape[2]  # nh * DP
+    nhp = fused["wqkv"].shape[3]  # nh * DP
     unroll_tiles = UNROLL_TILES if unroll_tiles is None else unroll_tiles
     attn_accum = ATTN_ACCUM if attn_accum is None else attn_accum
     p_lo, p_hi = phase_range if phase_range is not None else (0, 4 + nc)
@@ -366,10 +374,10 @@ def _fused_encoder_impl(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, nhp, e), lambda b, d, p, _o=p_lo: (d, jnp.minimum(p + _o, 2), 0, 0)),
+            pl.BlockSpec((1, 1, e, nhp), lambda b, d, p, _o=p_lo: (d, jnp.minimum(p + _o, 2), 0, 0)),
             pl.BlockSpec((1, nhp, e), lambda b, d, p: (d, 0, 0)),
-            pl.BlockSpec((1, 1, hc, e), lambda b, d, p, _n=nc, _o=p_lo: (d, jnp.clip(p + _o - 4, 0, _n - 1), 0, 0)),
             pl.BlockSpec((1, 1, e, hc), lambda b, d, p, _n=nc, _o=p_lo: (d, jnp.clip(p + _o - 4, 0, _n - 1), 0, 0)),
+            pl.BlockSpec((1, 1, hc, e), lambda b, d, p, _n=nc, _o=p_lo: (d, jnp.clip(p + _o - 4, 0, _n - 1), 0, 0)),
             pl.BlockSpec((1, nv, w), lambda b, d, p: (d, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

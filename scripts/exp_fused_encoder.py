@@ -59,13 +59,23 @@ def main():
         return per_w
 
     nc = fused["wfc1"].shape[1]
-    run("fori + concat (r5 baseline)", unroll_tiles=False, attn_accum=False)
-    run("unroll + concat", unroll_tiles=True, attn_accum=False)
-    run("unroll + accum", unroll_tiles=True, attn_accum=True)
-    run("fori + accum", unroll_tiles=False, attn_accum=True)
-    run("phases qkv only [0,3)", unroll_tiles=True, attn_accum=False, phase_range=(0, 3))
-    run("phase attn only [3,4)", unroll_tiles=True, attn_accum=False, phase_range=(3, 4))
-    run("phases mlp only [4,..)", unroll_tiles=True, attn_accum=False, phase_range=(4, 4 + nc))
+    if os.environ.get("L4P_EXP_BISect2", ""):
+        run("qkv+attn [0,4)", phase_range=(0, 4))
+        run("attn+mlp [3,..)", phase_range=(3, 4 + nc))
+        run("full via range [0,..)", phase_range=(0, 4 + nc))
+    elif os.environ.get("L4P_EXP_PHASES_ONLY", ""):
+        run("full (module defaults)")
+        run("phases qkv only [0,3)", phase_range=(0, 3))
+        run("phase attn only [3,4)", phase_range=(3, 4))
+        run("phases mlp only [4,..)", phase_range=(4, 4 + nc))
+    else:
+        run("fori + concat (r5 baseline)", unroll_tiles=False, attn_accum=False)
+        run("unroll + concat", unroll_tiles=True, attn_accum=False)
+        run("unroll + accum", unroll_tiles=True, attn_accum=True)
+        run("fori + accum", unroll_tiles=False, attn_accum=True)
+        run("phases qkv only [0,3)", unroll_tiles=True, attn_accum=False, phase_range=(0, 3))
+        run("phase attn only [3,4)", unroll_tiles=True, attn_accum=False, phase_range=(3, 4))
+        run("phases mlp only [4,..)", unroll_tiles=True, attn_accum=False, phase_range=(4, 4 + nc))
 
 
 if __name__ == "__main__":

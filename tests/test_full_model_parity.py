@@ -275,7 +275,6 @@ def test_full_model_single_window_parity_bf16():
     """
     import os
 
-    out, params, cfg_nj, data = _run_ours(jnp.bfloat16)
     measure_only = os.environ.get("L4P_PARITY_MEASURE", "") == "1"
     big = 1e9
     # (key, rtol, atol) — atol pinned to ~2x measured max_abs on chip
@@ -287,6 +286,11 @@ def test_full_model_single_window_parity_bf16():
         ("track_2d_vis_est_bn1t", 0.0, big if measure_only else 4e-1),
         ("track_2d_depth_est_bn1t", 0.0, big if measure_only else 8e-2),
     ]
-    _check_and_record(out, params, cfg_nj, data, checks,
-                      ray_rtol=0.0, ray_atol=big if measure_only else 4e-2,
-                      tag="bf16")
+    # production precision EXACTLY: bench/demo/serving run without the
+    # conftest's global highest-matmul-precision override (which also breaks
+    # Mosaic's bf16 dot lowering inside the Pallas kernels: "Bad lhs type")
+    with jax.default_matmul_precision("default"):
+        out, params, cfg_nj, data = _run_ours(jnp.bfloat16)
+        _check_and_record(out, params, cfg_nj, data, checks,
+                          ray_rtol=0.0, ray_atol=big if measure_only else 4e-2,
+                          tag="bf16")

@@ -118,7 +118,8 @@ def test_prepared_params_pad_rows_zero():
     cfg = _cfg()
     params = init_encoder_params(cfg, jax.random.PRNGKey(0))
     fused = prepare_fused_params(params, cfg)
-    wqkv = np.asarray(fused["wqkv"]).reshape(cfg.depth, 3, cfg.num_heads, 128, cfg.embed_dim)
-    assert np.all(wqkv[:, :, :, cfg.head_dim:, :] == 0)
+    # wqkv stored transposed (depth, 3, E, nh*DP): pad lanes are columns
+    wqkv = np.asarray(fused["wqkv"]).reshape(cfg.depth, 3, cfg.embed_dim, cfg.num_heads, 128)
+    assert np.all(wqkv[..., cfg.head_dim:] == 0)
     wproj = np.asarray(fused["wproj"]).reshape(cfg.depth, cfg.num_heads, 128, cfg.embed_dim)
     assert np.all(wproj[:, :, cfg.head_dim:, :] == 0)
