@@ -267,24 +267,28 @@ def test_full_model_single_window_parity_bf16():
     the honest form of the BASELINE.json "within 1e-2" claim while the
     released weights stay egress-blocked (VERDICT r4 item 2).
 
-    Tolerances pinned 2026-08-20 at ~2x the error measured on the real chip
-    (TPU v5e, bf16 converted weights incl. the fused Pallas kernels, vs
-    fp32 torch on this host). Errors are dominated by bf16 rounding through
-    the depth-40 encoder; scales: flow ~6 px, depth ~2.4, traj 112 px.
-    L4P_PARITY_MEASURE=1 prints without asserting (for re-pinning).
+    Tolerances pinned 2026-08-20 at ~2.5x the error MEASURED on the real
+    chip (TPU v5e, bf16 converted weights incl. the fused Pallas kernels —
+    flash attention, streamed two-way, fused upscale — vs fp32 torch on
+    this host; random converted weights). Measured max abs errors:
+    flow 2.2e-3 (scale 0.12), depth 5.1e-3 (1.05), dyn_mask 2.7e-3 (0.08),
+    traj 8.1e-3 px (scale 112 px!), vis 1.4e-3 (10), track depth 1.0e-3
+    (0.91), camray ray map 3.2e-3 (0.24) — every output within 1e-2
+    absolute at production precision. L4P_PARITY_MEASURE=1 prints without
+    asserting (for re-pinning).
     """
     import os
 
     measure_only = os.environ.get("L4P_PARITY_MEASURE", "") == "1"
     big = 1e9
-    # (key, rtol, atol) — atol pinned to ~2x measured max_abs on chip
+    # (key, rtol, atol) — atol pinned to ~2.5x measured max_abs on chip
     checks = [
-        ("flow_2d_backward_est_b2thw", 0.0, big if measure_only else 1.4e-1),
-        ("depth_est_b1thw", 0.0, big if measure_only else 7e-2),
-        ("dyn_mask_est_b1thw", 0.0, big if measure_only else 3e-2),
-        ("track_2d_traj_est_bn2t", 0.0, big if measure_only else 6.0),
-        ("track_2d_vis_est_bn1t", 0.0, big if measure_only else 4e-1),
-        ("track_2d_depth_est_bn1t", 0.0, big if measure_only else 8e-2),
+        ("flow_2d_backward_est_b2thw", 0.0, big if measure_only else 5.5e-3),
+        ("depth_est_b1thw", 0.0, big if measure_only else 1.3e-2),
+        ("dyn_mask_est_b1thw", 0.0, big if measure_only else 6.6e-3),
+        ("track_2d_traj_est_bn2t", 0.0, big if measure_only else 2.0e-2),
+        ("track_2d_vis_est_bn1t", 0.0, big if measure_only else 3.6e-3),
+        ("track_2d_depth_est_bn1t", 0.0, big if measure_only else 2.6e-3),
     ]
     # production precision EXACTLY: bench/demo/serving run without the
     # conftest's global highest-matmul-precision override (which also breaks
@@ -292,5 +296,5 @@ def test_full_model_single_window_parity_bf16():
     with jax.default_matmul_precision("default"):
         out, params, cfg_nj, data = _run_ours(jnp.bfloat16)
         _check_and_record(out, params, cfg_nj, data, checks,
-                          ray_rtol=0.0, ray_atol=big if measure_only else 4e-2,
+                          ray_rtol=0.0, ray_atol=big if measure_only else 8e-3,
                           tag="bf16")
