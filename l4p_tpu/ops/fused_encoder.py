@@ -1,10 +1,29 @@
 """Whole-encoder Pallas megakernel: all transformer blocks in ONE kernel.
 
-The round-4 attribution pinned the ViT-giant encoder at 53.7% MFU while the
-dense heads run ~70% — the gap is inter-op HBM traffic: the XLA block
-(models/encoder.py:_block) round-trips every intermediate (LN1 out, qkv,
-head transpose, attention out, proj, LN2 out, fc1/gelu, fc2) through HBM,
-~200+ MB per block at the giant window shape (reference hot loop:
+STATUS (round 5, measured on TPU v5e): CORRECT BUT SLOWER THAN THE XLA
+PATH — kept behind the default-off `EncoderConfig.fused_encoder` flag as a
+fully-working, parity-tested negative result. Best tuned composition (fori
+tile loops + per-head output-projection accumulation + packed qkv scratch
++ MXU-natural pre-transposed weights) runs 52.4-66 ms/window vs 37.6 for
+the production XLA+flash path on identical giant shapes. Per-phase grids
+measured qkv/attention/MLP at 48%/75%/62% of padded roofline with an
+additional structural composition penalty when all phases share one
+program (54 ms phase-sum -> 66-79 ms combined; compile time scales the
+same way — likely instruction-fetch pressure from the multi-branch
+program). Lane-concat across 16 heads and per-head scatter stores with
+dynamic sublane offsets were each measured 1.3-1.6x penalties and are
+avoided in the final form; TQ=1024 tiles regressed (fp32 intermediate
+spills). Conclusion: at these shapes Mosaic's scheduling of fused
+multi-phase programs loses more than VMEM-residency saves — don't retry
+without a new mechanism. Full numbers: ROUND_NOTES.md round 5,
+scripts/exp_fused_encoder.py.
+
+The motivating round-4 attribution pinned the ViT-giant encoder at 53.7%
+MFU while the dense heads run ~70% — the hypothesis was inter-op HBM
+traffic: the XLA block (models/encoder.py:_block) round-trips every
+intermediate (LN1 out, qkv, head transpose, attention out, proj, LN2 out,
+fc1/gelu, fc2) through HBM, ~200+ MB per block at the giant window shape
+(reference hot loop:
 l4p/models/VideoMAEv2/models/modeling_finetune.py:180-252).
 
 This kernel keeps the ACTIVATIONS RESIDENT IN VMEM for the entire depth-40
